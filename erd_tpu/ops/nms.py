@@ -1,0 +1,87 @@
+"""Fixed-shape greedy NMS for TPU.
+
+The reference relies on mmcv's CUDA NMS kernel through ``batched_nms``
+(/root/reference/mmdet/models/dense_heads/base_dense_head.py:479 and
+gfl_head_increment_erd.py:202). Here NMS is expressed as a static-shape
+XLA program: sort by score, precompute the pairwise IoU matrix once, then a
+sequential suppression scan. Exactly reproduces greedy NMS semantics
+(including the class-offset trick of ``batched_nms``) with no dynamic shapes,
+so it lives happily inside jit/vmap/pjit.
+
+For N = nms_pre = 1000 the IoU matrix is 1e6 floats (4 MB) — well within
+VMEM/HBM budgets; the scan is N vector steps. A Pallas kernel can replace the
+scan if profiling shows it dominating (tracked for a later perf pass).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import bbox_overlaps
+
+
+def nms_mask(boxes, scores, iou_threshold, valid_mask=None):
+    """Greedy NMS returning a keep-mask over the input order.
+
+    Args:
+        boxes: (N, 4) xyxy.
+        scores: (N,) — invalid entries should carry -inf or use valid_mask.
+        iou_threshold: float.
+        valid_mask: optional (N,) bool; invalid entries never kept and never
+            suppress others.
+
+    Returns:
+        keep: (N,) bool mask in the ORIGINAL order.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, neg_inf)
+    order = jnp.argsort(-scores)  # descending, stable
+    sboxes = boxes[order]
+    svalid = scores[order] > neg_inf
+
+    iou = bbox_overlaps(sboxes, sboxes)  # (N, N)
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]  # j strictly after i in sorted order
+    # suppress[i, j] = True if keeping i would remove j.
+    suppress = (iou > iou_threshold) & later & svalid[:, None]
+
+    def body(i, alive):
+        keep_i = alive[i]
+        return jnp.where(keep_i, alive & ~suppress[i], alive)
+
+    alive = jax.lax.fori_loop(0, n, body, svalid)
+    # scatter back to original order
+    keep = jnp.zeros((n,), bool).at[order].set(alive)
+    return keep
+
+
+def batched_nms_mask(boxes, scores, idxs, iou_threshold, valid_mask=None):
+    """Class-aware NMS via the coordinate-offset trick (mmcv batched_nms)."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0))
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1)
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, iou_threshold, valid_mask)
+
+
+def nms_select(boxes, scores, labels, iou_threshold, max_out,
+               valid_mask=None, class_agnostic=False):
+    """Batched-NMS then take the top ``max_out`` kept detections.
+
+    Returns (boxes (max_out,4), scores (max_out,), labels (max_out,),
+    mask (max_out,)) ordered by descending score; empty slots zeroed.
+    """
+    if class_agnostic:
+        keep = nms_mask(boxes, scores, iou_threshold, valid_mask)
+    else:
+        keep = batched_nms_mask(boxes, scores, labels, iou_threshold,
+                                valid_mask)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    kept_scores = jnp.where(keep, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    out_mask = top_scores > neg_inf
+    out_boxes = jnp.where(out_mask[:, None], boxes[top_idx], 0.0)
+    out_labels = jnp.where(out_mask, labels[top_idx], 0)
+    out_scores = jnp.where(out_mask, top_scores, 0.0)
+    return out_boxes, out_scores, out_labels, out_mask

@@ -1,0 +1,34 @@
+"""Test config: force a virtual 8-device CPU platform BEFORE jax initializes.
+
+Mirrors the multi-chip testing strategy from SURVEY.md section 2.10: sharding
+logic is validated on a virtual CPU mesh; real-TPU execution is covered by
+bench.py / the driver's dryrun.
+"""
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def rand_boxes(rs, n, w=320, h=320, min_size=2.0):
+    """Random well-formed xyxy boxes."""
+    cx = rs.uniform(0, w, n)
+    cy = rs.uniform(0, h, n)
+    bw = rs.uniform(min_size, w / 3, n)
+    bh = rs.uniform(min_size, h / 3, n)
+    x1 = np.clip(cx - bw / 2, 0, w)
+    y1 = np.clip(cy - bh / 2, 0, h)
+    x2 = np.clip(cx + bw / 2, x1 + min_size, w)
+    y2 = np.clip(cy + bh / 2, y1 + min_size, h)
+    return np.stack([x1, y1, x2, y2], axis=-1).astype(np.float32)

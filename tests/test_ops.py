@@ -1,0 +1,120 @@
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from erd_tpu.ops import (batched_nms_mask, filter_scores_and_topk, integral,
+                         masked_mean_std, nms_mask, nms_select,
+                         topk_mask_select)
+from tests.conftest import rand_boxes
+
+
+def np_greedy_nms(boxes, scores, thr):
+    """Classic O(N^2) numpy greedy NMS returning kept original indices."""
+    order = np.argsort(-scores, kind='stable')
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a1 + a2 - inter, 1e-6) > thr:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def test_nms_matches_numpy(rng):
+    for _ in range(5):
+        boxes = rand_boxes(rng, 60, w=100, h=100)
+        scores = rng.rand(60).astype(np.float32)
+        got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                  0.5))
+        want = np.zeros(60, bool)
+        want[np_greedy_nms(boxes, scores, 0.5)] = True
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nms_valid_mask(rng):
+    boxes = rand_boxes(rng, 30, w=100, h=100)
+    scores = rng.rand(30).astype(np.float32)
+    valid = rng.rand(30) > 0.4
+    got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                              valid_mask=jnp.asarray(valid)))
+    # oracle on the valid subset
+    idx = np.where(valid)[0]
+    kept = np_greedy_nms(boxes[idx], scores[idx], 0.5)
+    want = np.zeros(30, bool)
+    want[idx[kept]] = True
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_nms_classes_dont_suppress(rng):
+    # identical boxes in different classes must both survive
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (2, 1))
+    scores = np.array([0.9, 0.8], np.float32)
+    idxs = np.array([0, 1], np.int32)
+    keep = np.asarray(batched_nms_mask(jnp.asarray(boxes),
+                                       jnp.asarray(scores),
+                                       jnp.asarray(idxs), 0.5))
+    assert keep.all()
+
+
+def test_nms_select_shapes(rng):
+    boxes = rand_boxes(rng, 50, w=100, h=100)
+    scores = rng.rand(50).astype(np.float32)
+    labels = rng.randint(0, 3, 50).astype(np.int32)
+    b, s, l, m = nms_select(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(labels), 0.5, max_out=10)
+    assert b.shape == (10, 4) and s.shape == (10,) and m.dtype == bool
+    s = np.asarray(s)
+    assert (np.diff(s[np.asarray(m)]) <= 1e-6).all()  # sorted desc
+
+
+def test_integral_matches_torch(rng):
+    x = rng.randn(12, 68).astype(np.float32)
+    got = np.asarray(integral(jnp.asarray(x), reg_max=16))
+    tx = torch.as_tensor(x)
+    p = F.softmax(tx.reshape(-1, 17), dim=1)
+    want = F.linear(p, torch.linspace(0, 16, 17)).reshape(-1, 4).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_filter_scores_and_topk(rng):
+    scores = rng.rand(100, 5).astype(np.float32)
+    thr = 0.7
+    s, lab, idx, mask = filter_scores_and_topk(jnp.asarray(scores), thr, 20)
+    s, lab, idx, mask = map(np.asarray, (s, lab, idx, mask))
+    flat = scores.flatten()
+    want = np.sort(flat[flat > thr])[::-1][:20]
+    np.testing.assert_allclose(s[mask], want[:mask.sum()], rtol=1e-6)
+    # labels/indices consistent
+    np.testing.assert_allclose(scores[idx[mask], lab[mask]], s[mask],
+                               rtol=1e-6)
+
+
+def test_topk_mask_select(rng):
+    x = rng.rand(200).astype(np.float32)
+    thr = float(x.mean() + 2 * x.std())
+    idx, mask = topk_mask_select(jnp.asarray(x), 50, thr)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    want = set(np.where(x > thr)[0].tolist())
+    assert set(idx[mask].tolist()) == want
+
+
+def test_masked_mean_std_matches_torch(rng):
+    x = rng.randn(97).astype(np.float32)
+    mask = rng.rand(97) > 0.3
+    mean, std = masked_mean_std(jnp.asarray(x), jnp.asarray(mask))
+    tx = torch.as_tensor(x[mask])
+    np.testing.assert_allclose(float(mean), float(tx.mean()), rtol=1e-5)
+    np.testing.assert_allclose(float(std), float(tx.std()), rtol=1e-4)
