@@ -1,0 +1,13 @@
+from .backbones.resnet import ResNet
+from .detectors.single_stage import GFLDetector, GFLNet
+from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
+                             GFLTrainConfig, flatten_levels, gfl_loss,
+                             gfl_predict, gfl_targets)
+from .necks.fpn import FPN
+from .preprocessor import Preprocessor
+
+__all__ = [
+    'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'AnchorContext',
+    'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
+    'gfl_predict', 'gfl_targets', 'Preprocessor',
+]

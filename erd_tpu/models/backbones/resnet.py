@@ -1,0 +1,128 @@
+"""ResNet backbone family (NHWC, frozen-BN), flax.linen.
+
+Behavioural mirror of /root/reference/mmdet/models/backbones/resnet.py for the
+detection use case: 'pytorch'-style bottlenecks (stride on the 3x3 conv),
+7x7/2 stem + 3x3/2 maxpool, 4 stages returning (C2..C5), ``norm_eval``
+semantics baked in via FrozenBatchNorm, and ``frozen_stages`` realised as an
+optimizer mask (see engine/optim.py) rather than mutable module state.
+Weight layout is import-compatible with torchvision/mmdet checkpoints
+(see models/weight_import.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import FrozenBatchNorm, max_pool_torch, torch_pad
+
+ARCH_SETTINGS = {
+    18: ('basic', (2, 2, 2, 2)),
+    34: ('basic', (3, 4, 6, 3)),
+    50: ('bottleneck', (3, 4, 6, 3)),
+    101: ('bottleneck', (3, 4, 23, 3)),
+    152: ('bottleneck', (3, 8, 36, 3)),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 with identity/projection shortcut."""
+    planes: int  # mid channels; out = planes * 4
+    stride: int = 1
+    downsample: bool = False
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.planes * 4
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
+        y = FrozenBatchNorm(self.planes, name='bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=[torch_pad(3)] * 2,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, name='conv2')(y)
+        y = FrozenBatchNorm(self.planes, name='bn2')(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name='conv3')(y)
+        y = FrozenBatchNorm(out_ch, name='bn3')(y)
+        if self.downsample:
+            identity = nn.Conv(out_ch, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name='downsample_conv')(x)
+            identity = FrozenBatchNorm(out_ch, name='downsample_bn')(identity)
+        return nn.relu(y + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=[torch_pad(3)] * 2, use_bias=False,
+                    name='conv1')(x)
+        y = FrozenBatchNorm(self.planes, name='bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=[torch_pad(3)] * 2,
+                    use_bias=False, name='conv2')(y)
+        y = FrozenBatchNorm(self.planes, name='bn2')(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name='downsample_conv')(x)
+            identity = FrozenBatchNorm(self.planes,
+                                       name='downsample_bn')(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet with detection-style multi-stage outputs.
+
+    Attributes:
+        depth: 18/34/50/101/152.
+        out_indices: which stages to return (0-based; (0,1,2,3) -> C2..C5).
+        strides/dilations: per-stage 3x3 stride/dilation.
+    """
+    depth: int = 50
+    base_channels: int = 64
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_type == 'bottleneck' else BasicBlock
+        x = x.astype(self.compute_dtype)
+
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                    padding=[torch_pad(7)] * 2, use_bias=False,
+                    name='stem_conv')(x)
+        x = FrozenBatchNorm(self.base_channels, name='stem_bn')(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2, 1)
+
+        outs = []
+        planes = self.base_channels
+        for stage, num_blocks in enumerate(stage_blocks):
+            stride = self.strides[stage]
+            dilation = self.dilations[stage]
+            for b in range(num_blocks):
+                expansion = 4 if block_type == 'bottleneck' else 1
+                needs_ds = b == 0 and (stride != 1 or
+                                       x.shape[-1] != planes * expansion)
+                x = block_cls(planes, stride=stride if b == 0 else 1,
+                              downsample=needs_ds, dilation=dilation,
+                              name=f'layer{stage + 1}_block{b}')(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)

@@ -1,0 +1,123 @@
+"""Single-stage detector assembly (GFL flagship).
+
+Functional re-design of the reference's detector classes
+(/root/reference/mmdet/models/detectors/base.py:58-99, single_stage.py:28-149,
+gfl.py:12-46): the three forward modes become three pure functions over an
+immutable params pytree —
+    forward_raw  == mode='tensor'   (head outputs)
+    loss         == mode='loss'
+    predict      == mode='predict'
+so teacher/student co-execution, jit, vmap, grad and pjit all compose freely.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...task import AnchorGenerator
+from ..backbones.resnet import ResNet
+from ..heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
+                              GFLTrainConfig, flatten_levels, gfl_loss,
+                              gfl_predict, gfl_targets)
+from ..necks.fpn import FPN
+from ..preprocessor import Preprocessor
+
+
+class GFLNet(nn.Module):
+    """backbone -> neck -> dense head, NHWC."""
+    num_classes: int
+    depth: int = 50
+    neck_out: int = 256
+    stacked_convs: int = 4
+    reg_max: int = 16
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
+                       name='backbone')(images)
+        in_ch = tuple(f.shape[-1] for f in feats)
+        feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
+                    start_level=1, add_extra_convs='on_output', num_outs=5,
+                    name='neck')(feats)
+        return GFLHeadNet(num_classes=self.num_classes,
+                          in_channels=self.neck_out,
+                          feat_channels=self.neck_out,
+                          stacked_convs=self.stacked_convs,
+                          reg_max=self.reg_max, name='bbox_head')(feats)
+
+
+@dataclass
+class GFLDetector:
+    """Config + pure functions; holds no mutable state besides cached anchors."""
+    num_classes: int = 80
+    depth: int = 50
+    reg_max: int = 16
+    compute_dtype: Any = jnp.float32
+    preprocessor: Preprocessor = field(default_factory=Preprocessor)
+    anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
+    train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
+    test_cfg: GFLTestConfig = field(default_factory=GFLTestConfig)
+
+    def __post_init__(self):
+        self.net = GFLNet(num_classes=self.num_classes, depth=self.depth,
+                          reg_max=self.reg_max,
+                          compute_dtype=self.compute_dtype)
+        self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
+        if self.preprocessor.compute_dtype != self.compute_dtype:
+            self.preprocessor = replace(self.preprocessor,
+                                        compute_dtype=self.compute_dtype)
+        # Jitted entry points (per-op dispatch is prohibitively slow; every
+        # public path is compiled once per shape bucket).
+        self.loss_jit = jax.jit(self.loss)
+        self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
+        self.forward_jit = jax.jit(self.forward_raw)
+
+    # -- anchors --------------------------------------------------------
+    def anchor_context(self, image_shape) -> AnchorContext:
+        key = tuple(int(v) for v in image_shape)
+        if key not in self._ctx_cache:
+            self._ctx_cache[key] = AnchorContext.build(
+                key, self.anchor_generator)
+        return self._ctx_cache[key]
+
+    # -- params ---------------------------------------------------------
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
+                          jnp.uint8)
+        # jit: eager per-op init dispatch is ~100x slower in this runtime.
+        return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
+
+    # -- modes ----------------------------------------------------------
+    def forward_raw(self, variables, images):
+        """mode='tensor': per-level (cls_scores, bbox_preds), NHWC."""
+        return self.net.apply(variables, self.preprocessor(images))
+
+    def loss(self, variables, batch):
+        """mode='loss'. batch: dict(images, gt: GTInstances, meta: ImageMeta)."""
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        cls_lvl, reg_lvl = self.forward_raw(variables, images)
+        targets = gfl_targets(ctx, batch['gt'], batch['meta'].img_shape,
+                              self.num_classes,
+                              topk=self.train_cfg.assigner_topk,
+                              pad_divisor=self.train_cfg.pad_divisor)
+        cls_flat = flatten_levels(cls_lvl).astype(jnp.float32)
+        reg_flat = flatten_levels(reg_lvl).astype(jnp.float32)
+        return gfl_loss(ctx, cls_flat, reg_flat, targets, self.train_cfg,
+                        reg_max=self.reg_max)
+
+    def predict(self, variables, batch, rescale=True):
+        """mode='predict': DetResults in original-image frame."""
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        cls_lvl, reg_lvl = self.forward_raw(variables, images)
+        cls_lvl = [c.astype(jnp.float32) for c in cls_lvl]
+        reg_lvl = [r.astype(jnp.float32) for r in reg_lvl]
+        return gfl_predict(ctx, cls_lvl, reg_lvl, batch['meta'],
+                           self.test_cfg, reg_max=self.reg_max,
+                           rescale=rescale)
