@@ -1,4 +1,5 @@
 from .backbones.resnet import ResNet
+from .detectors.gfl_erd import ERDConfig, ERDDetector, ers_select
 from .detectors.single_stage import GFLDetector, GFLNet
 from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                              GFLTrainConfig, flatten_levels, gfl_loss,
@@ -7,7 +8,8 @@ from .necks.fpn import FPN
 from .preprocessor import Preprocessor
 
 __all__ = [
-    'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'AnchorContext',
+    'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
+    'ERDConfig', 'ers_select', 'AnchorContext',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

@@ -1,0 +1,175 @@
+"""ERD incremental detector: fused teacher+student train step.
+
+TPU-native re-design of GFLIncrementERD
+(/root/reference/mmdet/models/detectors/gfl_increment_erd.py:20-221) and
+GFLHeadIncrementERD (/root/reference/mmdet/models/dense_heads/
+gfl_head_increment_erd.py:57-484):
+
+  * the frozen teacher is the same pure ``GFLNet.apply`` with its own params
+    pytree under ``stop_gradient`` — teacher and student run in ONE jitted,
+    differentiated step (no module mutation, no ``torch.no_grad`` contexts);
+  * ERS (Elastic Response Selection, detector :143-200): the per-image
+    ``score > mean + 2*std`` boolean ``nonzero`` becomes a capped top-k with a
+    validity mask (sample std over all anchors, like torch ``.std()``);
+  * the distill-reg NMS dedupe (head :196-202, iou_thr=0.005) uses the
+    fixed-shape batched-NMS keep mask;
+  * the per-image distill losses (head :142-223) are vmapped and summed, then
+    scaled by 1/num_devices — exactly the objective DDP gradient averaging
+    induces on the reference's per-rank per-image loss sums.
+
+Class-channel layout invariant (SURVEY.md section 2.1): teacher owns channels
+[0, ori_num_classes); the new-task dataset's labels 0..K-1 supervise channels
+[ori_num_classes, num_classes) via a slice of the student's cls map
+(head :260-271).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...losses import (knowledge_distillation_kl_div_loss, l2_response_loss)
+from ...ops import batched_nms_mask, integral, masked_mean_std, \
+    topk_mask_select
+from ...structures import distance2bbox
+from ...structures.boxes import bbox_center
+from ..heads.gfl_head import flatten_levels, gfl_loss, gfl_targets
+from .single_stage import GFLDetector
+
+
+@dataclass
+class ERDConfig:
+    ori_num_classes: int = 40
+    dist_loss_weight: float = 1.0
+    ld_weight: float = 0.25
+    ld_T: float = 10.0
+    distill_nms_iou: float = 0.005
+    ers_cls_cap: int = 1000   # static cap on mean+2std selections per image
+    ers_reg_cap: int = 1000
+    num_devices: int = 1      # data-parallel width, for DDP-equivalent scaling
+
+
+def ers_select(cls_scores, bbox_preds, cls_cap, reg_cap):
+    """Elastic Response Selection for one image (static shapes).
+
+    Args:
+        cls_scores: (N, C) teacher cls logits (old classes only).
+        bbox_preds: (N, 4*(reg_max+1)) teacher distribution logits.
+    Returns (cls_idx, cls_mask, reg_idx, reg_mask).
+    """
+    conf = jax.nn.sigmoid(cls_scores)
+    max_scores = conf.max(axis=-1)
+    n = max_scores.shape[0]
+    ones = jnp.ones((n,), bool)
+    mean, std = masked_mean_std(max_scores, ones)
+    cls_idx, cls_mask = topk_mask_select(max_scores, cls_cap, mean + 2 * std)
+
+    max_bbox = bbox_preds.max(axis=-1)
+    bmean, bstd = masked_mean_std(max_bbox, ones)
+    reg_idx, reg_mask = topk_mask_select(max_bbox, reg_cap, bmean + 2 * bstd)
+    return cls_idx, cls_mask, reg_idx, reg_mask
+
+
+@dataclass
+class ERDDetector(GFLDetector):
+    """Student detector + frozen teacher co-execution."""
+    erd: ERDConfig = field(default_factory=ERDConfig)
+
+    def __post_init__(self):
+        super().__post_init__()
+        # Teacher shares the architecture but has ori_num_classes outputs.
+        self.teacher = GFLDetector(
+            num_classes=self.erd.ori_num_classes, depth=self.depth,
+            reg_max=self.reg_max, compute_dtype=self.compute_dtype,
+            preprocessor=self.preprocessor,
+            anchor_generator=self.anchor_generator,
+            train_cfg=self.train_cfg, test_cfg=self.test_cfg)
+        self.loss_jit = jax.jit(self.loss)
+
+    # -- stage bootstrap -------------------------------------------------
+    def init_student_from_teacher(self, rng, teacher_variables,
+                                  image_shape=(128, 128)):
+        """Fresh student whose old-class channels equal the teacher."""
+        from ..weight_import import widen_cls_head
+        student = self.init(rng, image_shape=image_shape)
+        return widen_cls_head(teacher_variables, student,
+                              self.erd.ori_num_classes)
+
+    # -- fused incremental loss -----------------------------------------
+    def loss(self, variables, batch, teacher_variables=None):
+        assert teacher_variables is not None, 'ERD loss needs the teacher'
+        cfg = self.erd
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        ori_c = cfg.ori_num_classes
+        new_c = self.num_classes - ori_c
+
+        # Teacher forward, frozen (mode='tensor'; detector :205).
+        t_vars = jax.lax.stop_gradient(teacher_variables)
+        t_cls_lvl, t_reg_lvl = self.teacher.forward_raw(t_vars, images)
+        t_cls = flatten_levels(t_cls_lvl).astype(jnp.float32)  # (B, N, ori_c)
+        t_reg = flatten_levels(t_reg_lvl).astype(jnp.float32)  # (B, N, 68)
+        t_cls = jax.lax.stop_gradient(t_cls)
+        t_reg = jax.lax.stop_gradient(t_reg)
+
+        # ERS selection per image (detector :143-200).
+        cls_idx, cls_mask, reg_idx, reg_mask = jax.vmap(
+            lambda c, r: ers_select(c, r, cfg.ers_cls_cap, cfg.ers_reg_cap)
+        )(t_cls, t_reg)
+
+        # Student forward.
+        s_cls_lvl, s_reg_lvl = self.forward_raw(variables, images)
+        s_cls = flatten_levels(s_cls_lvl).astype(jnp.float32)  # (B, N, 80)
+        s_reg = flatten_levels(s_reg_lvl).astype(jnp.float32)
+
+        # ---- supervised new-class branch (head :225-322) ----
+        targets = gfl_targets(ctx, batch['gt'], batch['meta'].img_shape,
+                              new_c, topk=self.train_cfg.assigner_topk,
+                              pad_divisor=self.train_cfg.pad_divisor)
+        losses = gfl_loss(ctx, s_cls[..., ori_c:], s_reg, targets,
+                          self.train_cfg, reg_max=self.reg_max)
+
+        # ---- distillation (head :142-223) ----
+        anchors = jnp.asarray(ctx.anchors)
+        centers = bbox_center(anchors)  # (N, 2) full-canvas frame
+
+        def distill_single(s_cls_i, s_reg_i, t_cls_i, t_reg_i, ci, cm, ri,
+                           rm):
+            # cls distill: plain mean-L2 on ERS-cls-selected old-class logits.
+            l_cls = l2_response_loss(s_cls_i[ci, :ori_c], t_cls_i[ci],
+                                     mask=cm[:, None])
+
+            # reg distill: decode teacher boxes at ERS-reg anchors, dedupe
+            # with iou=0.005 NMS, KD-KL on corner distributions weighted by
+            # the student's old-class confidence.
+            t_dist = integral(t_reg_i, self.reg_max)  # (N, 4)
+            t_boxes = distance2bbox(centers, t_dist)
+            t_conf = jax.nn.sigmoid(t_cls_i)
+            conf = t_conf.max(axis=-1)
+            ids = t_conf.argmax(axis=-1)
+            keep = batched_nms_mask(t_boxes[ri], conf[ri], ids[ri],
+                                    cfg.distill_nms_iou, valid_mask=rm)
+
+            w = jax.nn.sigmoid(
+                jax.lax.stop_gradient(s_cls_i[ri, :ori_c])).max(axis=-1)
+            w = jnp.where(keep & rm, w, 0.0)  # (K,)
+            k = ri.shape[0]
+            s_corners = s_reg_i[ri].reshape(k * 4, self.reg_max + 1)
+            t_corners = t_reg_i[ri].reshape(k * 4, self.reg_max + 1)
+            w4 = jnp.broadcast_to(w[:, None], (k, 4)).reshape(-1)
+            l_reg = knowledge_distillation_kl_div_loss(
+                s_corners, t_corners, weight=w4, T=cfg.ld_T,
+                avg_factor=4.0)
+            return l_cls, cfg.ld_weight * l_reg
+
+        l_cls_i, l_reg_i = jax.vmap(distill_single)(
+            s_cls, s_reg, t_cls, t_reg, cls_idx, cls_mask, reg_idx, reg_mask)
+
+        # DDP-equivalent scaling of the per-image loss sums (see module doc).
+        scale = cfg.dist_loss_weight / cfg.num_devices
+        losses['loss_dist_cls'] = scale * l_cls_i.sum()
+        losses['loss_dist_bbox'] = scale * l_reg_i.sum()
+        return losses
