@@ -1,0 +1,100 @@
+"""Host-side image pipeline: decode, keep-ratio resize, flip, bucket-pad, pack.
+
+Replaces the reference's transform chain (LoadImageFromFile -> LoadAnnotations
+-> Resize(keep_ratio, (1333, 800)) -> RandomFlip(0.5) -> PackDetInputs;
+configs/_base_/datasets/coco_detection.py:20-36) plus the device-side pad of
+DetDataPreprocessor. TPU twist: instead of padding each batch to its own max
+shape (dynamic), every image lands in one of two STATIC canvases —
+(800, 1344) landscape / (1344, 800) portrait — so XLA compiles exactly two
+bucket programs. Batches are orientation-homogeneous (the
+AspectRatioBatchSampler idea, batch_sampler.py:11-68, folded into bucketing).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..structures.det_sample import GTInstances, ImageMeta
+from .coco import ImageRecord
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    from PIL import Image
+    _HAS_CV2 = False
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    """(H, W, 3) uint8 RGB."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    img = Image.open(path).convert('RGB')  # pragma: no cover
+    return np.asarray(img)  # pragma: no cover
+
+
+def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int]:
+    """mmcv-style keep-ratio size: long edge <= scale[0], short <= scale[1]."""
+    long_edge, short_edge = max(scale), min(scale)
+    f = min(long_edge / max(h, w), short_edge / min(h, w))
+    return int(h * f + 0.5), int(w * f + 0.5)
+
+
+def resize_image(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    h, w = size_hw
+    if _HAS_CV2:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    from PIL import Image  # pragma: no cover
+    return np.asarray(
+        Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
+def bucket_shape(h: int, w: int, scale=(1333, 800), divisor=32):
+    """Static canvas for an image's orientation."""
+    long_edge = int(np.ceil(max(scale) / divisor) * divisor)
+    short_edge = int(np.ceil(min(scale) / divisor) * divisor)
+    return (short_edge, long_edge) if w >= h else (long_edge, short_edge)
+
+
+@dataclass
+class DetPipeline:
+    """record -> (canvas uint8, GTInstances, ImageMeta), all static shapes."""
+    scale: Tuple[int, int] = (1333, 800)
+    flip_prob: float = 0.5
+    max_gt: int = 100
+    divisor: int = 32
+    training: bool = True
+
+    def __call__(self, record: ImageRecord,
+                 rng: Optional[np.random.RandomState] = None,
+                 image: Optional[np.ndarray] = None):
+        img = image if image is not None else imread_rgb(record.path)
+        ori_h, ori_w = img.shape[:2]
+        new_h, new_w = rescale_size(ori_h, ori_w, self.scale)
+        img = resize_image(img, (new_h, new_w))
+        sx, sy = new_w / ori_w, new_h / ori_h
+
+        boxes = record.bboxes * np.array([sx, sy, sx, sy], np.float32)
+
+        flip = bool(self.training and rng is not None and
+                    rng.rand() < self.flip_prob)
+        if flip:
+            img = img[:, ::-1]
+            x1 = new_w - boxes[:, 2]
+            x2 = new_w - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=-1)
+
+        ch, cw = bucket_shape(ori_h, ori_w, self.scale, self.divisor)
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:new_h, :new_w] = img
+
+        gt = GTInstances.pad(boxes, record.labels, self.max_gt,
+                             ignore=record.ignore)
+        meta = ImageMeta.make((new_h, new_w), (ori_h, ori_w), (sx, sy),
+                              flip=flip, img_id=record.img_id)
+        return canvas, gt, meta

@@ -1,0 +1,8 @@
+from .coco_eval import (AREA_RANGES, IOU_THRS, CocoMAPEvaluator,
+                        DetectionResult, det_gt_iou)
+from .coco_metric import CocoMetric
+
+__all__ = [
+    'CocoMAPEvaluator', 'DetectionResult', 'CocoMetric', 'IOU_THRS',
+    'AREA_RANGES', 'det_gt_iou',
+]

@@ -1,0 +1,262 @@
+"""COCO-style detection mAP evaluation in pure numpy.
+
+pycocotools is not available in this environment, so this re-implements the
+published COCO evaluation protocol (the semantics behind
+/root/reference/mmdet/evaluation/metrics/coco_metric.py and its COCOeval
+dependency): 10 IoU thresholds 0.50:0.05:0.95, area ranges
+all/small/medium/large, maxDets (1, 10, 100), greedy score-ordered matching
+with crowd/ignore handling (IoF for crowd), and 101-point interpolated
+precision. Written from the protocol definition, not ported code.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+RECALL_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)
+AREA_RANGES = {
+    'all': (0.0, 1e10),
+    'small': (0.0, 32.0**2),
+    'medium': (32.0**2, 96.0**2),
+    'large': (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def det_gt_iou(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
+    """(D, G) IoU; crowd gt columns use IoF (intersection / det area)."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    lt = np.maximum(dt[:, None, :2], gt[None, :, :2])
+    rb = np.minimum(dt[:, None, 2:], gt[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_d = (dt[:, 2] - dt[:, 0]) * (dt[:, 3] - dt[:, 1])
+    area_g = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+    union = area_d[:, None] + area_g[None, :] - inter
+    union = np.where(iscrowd[None, :], area_d[:, None], union)
+    return inter / np.maximum(union, 1e-10)
+
+
+@dataclass
+class _ImgEval:
+    """Per (image, category) match state across IoU thresholds."""
+    dt_scores: np.ndarray       # (D,)
+    dt_matches: np.ndarray      # (T, D) matched gt id+1 or 0
+    dt_ignore: np.ndarray       # (T, D) bool
+    n_gt: int                   # non-ignored gt count (for this area range)
+
+
+def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_crowd,
+                  area_rng, max_det):
+    """Greedy matching for one (img, cat, area-range); all IoU thrs at once."""
+    # area-range based gt ignoring (by the gt's own area)
+    if len(gt_boxes):
+        g_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
+            (gt_boxes[:, 3] - gt_boxes[:, 1])
+        gt_ig = gt_ignore | (g_area < area_rng[0]) | (g_area > area_rng[1])
+    else:
+        gt_ig = np.zeros((0,), bool)
+
+    order = np.argsort(-dt_scores, kind='stable')[:max_det]
+    dt_boxes = dt_boxes[order]
+    dt_scores = dt_scores[order]
+
+    # sort gts: non-ignored first (stable) so matching prefers real gts
+    g_order = np.argsort(gt_ig, kind='stable')
+    gt_boxes = gt_boxes[g_order]
+    gt_ig = gt_ig[g_order]
+    gt_crowd_s = gt_crowd[g_order]
+
+    ious = det_gt_iou(dt_boxes, gt_boxes, gt_crowd_s)
+
+    T = len(IOU_THRS)
+    D = len(dt_boxes)
+    G = len(gt_boxes)
+    dtm = np.zeros((T, D), np.int64)
+    gtm = np.zeros((T, G), np.int64)
+    dt_ig = np.zeros((T, D), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_g = -1
+            for g in range(G):
+                if gtm[ti, g] and not gt_crowd_s[g]:
+                    continue  # gt already claimed (crowds can absorb many)
+                if best_g > -1 and not gt_ig[best_g] and gt_ig[g]:
+                    break  # only ignored gts remain; keep the real match
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                best_g = g
+            if best_g == -1:
+                continue
+            dtm[ti, d] = best_g + 1
+            gtm[ti, best_g] = d + 1
+            dt_ig[ti, d] = gt_ig[best_g]
+
+    # unmatched dets outside the area range are ignored, not false positives
+    d_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * \
+        (dt_boxes[:, 3] - dt_boxes[:, 1]) if D else np.zeros((0,))
+    out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+    dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
+
+    return _ImgEval(dt_scores=dt_scores, dt_matches=dtm, dt_ignore=dt_ig,
+                    n_gt=int((~gt_ig).sum()))
+
+
+@dataclass
+class DetectionResult:
+    """Detections for one image, labels in dataset-contiguous space."""
+    img_id: int
+    bboxes: np.ndarray  # (n, 4) xyxy, original-image frame
+    scores: np.ndarray
+    labels: np.ndarray
+
+
+class CocoMAPEvaluator:
+    """Accumulates DetectionResult objects and computes COCO metrics.
+
+    Args:
+        gt_records: iterable of data.coco.ImageRecord (ground truth).
+        num_classes: contiguous label count.
+        class_names: optional names for the classwise table.
+    """
+
+    def __init__(self, gt_records, num_classes, class_names=None,
+                 area_ranges=('all', 'small', 'medium', 'large'),
+                 max_dets=MAX_DETS):
+        self.num_classes = num_classes
+        self.class_names = class_names or [str(i)
+                                           for i in range(num_classes)]
+        self.area_ranges = area_ranges
+        self.max_dets = max_dets
+        self.gt = {}
+        for r in gt_records:
+            self.gt[r.img_id] = r
+        self._results: Dict[int, DetectionResult] = {}
+
+    def process(self, result: DetectionResult):
+        self._results[result.img_id] = result
+
+    def compute(self, classwise=False):
+        img_ids = sorted(self.gt)
+        K = self.num_classes
+        area_names = list(self.area_ranges)
+        # evals[(k, a)] -> list of _ImgEval
+        max_det_eval = max(self.max_dets)
+        evals: Dict[Tuple[int, str], List[_ImgEval]] = {
+            (k, a): [] for k in range(K) for a in area_names}
+        gt_count = np.zeros((K,), np.int64)
+
+        for img_id in img_ids:
+            r = self.gt[img_id]
+            det = self._results.get(img_id)
+            for k in range(K):
+                g_sel = r.labels == k
+                gt_boxes = r.bboxes[g_sel]
+                gt_crowd = r.ignore[g_sel]
+                gt_count[k] += int((~gt_crowd).sum())
+                if det is None:
+                    d_boxes = np.zeros((0, 4))
+                    d_scores = np.zeros((0,))
+                else:
+                    d_sel = det.labels == k
+                    d_boxes = det.bboxes[d_sel]
+                    d_scores = det.scores[d_sel]
+                if len(gt_boxes) == 0 and len(d_boxes) == 0:
+                    for a in area_names:
+                        evals[(k, a)].append(None)
+                    continue
+                for a in area_names:
+                    evals[(k, a)].append(
+                        _evaluate_img(d_boxes, d_scores, gt_boxes, gt_crowd,
+                                      gt_crowd, AREA_RANGES[a],
+                                      max_det_eval))
+
+        T = len(IOU_THRS)
+        R = len(RECALL_THRS)
+        A = len(area_names)
+        M = len(self.max_dets)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        for ki in range(K):
+            for ai, a in enumerate(area_names):
+                imgs = [e for e in evals[(ki, a)] if e is not None]
+                if not imgs:
+                    continue
+                n_gt = sum(e.n_gt for e in imgs)
+                if n_gt == 0:
+                    continue
+                for mi, md in enumerate(self.max_dets):
+                    scores = np.concatenate(
+                        [e.dt_scores[:md] for e in imgs])
+                    order = np.argsort(-scores, kind='mergesort')
+                    dtm = np.concatenate(
+                        [e.dt_matches[:, :md] for e in imgs],
+                        axis=1)[:, order]
+                    dtig = np.concatenate(
+                        [e.dt_ignore[:, :md] for e in imgs],
+                        axis=1)[:, order]
+                    tps = (dtm > 0) & ~dtig
+                    fps = (dtm == 0) & ~dtig
+                    tp_sum = np.cumsum(tps, axis=1).astype(float)
+                    fp_sum = np.cumsum(fps, axis=1).astype(float)
+                    for ti in range(T):
+                        tp = tp_sum[ti]
+                        fp = fp_sum[ti]
+                        nd = len(tp)
+                        rc = tp / n_gt
+                        pr = tp / np.maximum(tp + fp, np.spacing(1))
+                        recall[ti, ki, ai, mi] = rc[-1] if nd else 0.0
+                        # precision envelope (monotone decreasing)
+                        q = np.zeros((R,))
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, RECALL_THRS, side='left')
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+
+        def _summarize(ap=True, iou_thr=None, area='all', max_det=100):
+            ai = area_names.index(area)
+            mi = list(self.max_dets).index(max_det)
+            if ap:
+                s = precision[:, :, :, ai, mi]
+                if iou_thr is not None:
+                    s = s[np.where(IOU_THRS == iou_thr)[0]]
+            else:
+                s = recall[:, :, ai, mi]
+                if iou_thr is not None:
+                    s = s[np.where(IOU_THRS == iou_thr)[0]]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else -1.0
+
+        metrics = {
+            'bbox_mAP': _summarize(),
+            'bbox_mAP_50': _summarize(iou_thr=0.5),
+            'bbox_mAP_75': _summarize(iou_thr=0.75),
+            'bbox_mAP_s': _summarize(area='small'),
+            'bbox_mAP_m': _summarize(area='medium'),
+            'bbox_mAP_l': _summarize(area='large'),
+            'bbox_AR_1': _summarize(ap=False, max_det=1),
+            'bbox_AR_10': _summarize(ap=False, max_det=10),
+            'bbox_AR_100': _summarize(ap=False, max_det=100),
+        }
+        if classwise:
+            table = {}
+            ai = area_names.index('all')
+            mi = list(self.max_dets).index(100)
+            for ki, name in enumerate(self.class_names):
+                s = precision[:, :, ki, ai, mi]
+                s = s[s > -1]
+                table[name] = float(s.mean()) if s.size else float('nan')
+            metrics['classwise'] = table
+        return metrics

@@ -1,0 +1,149 @@
+"""Dataset / transform / loader tests with synthetic COCO json fixtures."""
+import json
+import numpy as np
+import pytest
+
+from erd_tpu.data import (CocoDataset, DetDataLoader, DetPipeline,
+                          LoaderConfig, bucket_shape, rescale_size)
+from erd_tpu.data.coco import COCO_CLASSES
+
+
+def make_coco_json(tmp_path, cats, imgs, anns, name='ann.json'):
+    d = {
+        'images': [{'id': i, 'file_name': f'{i}.jpg', 'width': w,
+                    'height': h} for i, w, h in imgs],
+        'annotations': [
+            {'id': j, 'image_id': a[0], 'category_id': a[1],
+             'bbox': a[2], 'area': a[2][2] * a[2][3],
+             'iscrowd': a[3] if len(a) > 3 else 0}
+            for j, a in enumerate(anns)],
+        'categories': [{'id': cid, 'name': name_} for cid, name_ in cats],
+    }
+    p = tmp_path / name
+    p.write_text(json.dumps(d))
+    return str(p)
+
+
+def test_cat2label_metainfo_order(tmp_path):
+    # categories listed out of order in the json; labels follow METAINFO order
+    cats = [(18, 'dog'), (1, 'person'), (17, 'cat')]
+    path = make_coco_json(tmp_path, cats, [(1, 640, 480)],
+                          [(1, 1, [10, 10, 50, 50]),
+                           (1, 17, [100, 100, 40, 40])])
+    ds = CocoDataset(path)
+    # METAINFO order: person(0) < cat(15) < dog(16) among the 80 names
+    assert ds.label_names == ['person', 'cat', 'dog']
+    r = ds[0]
+    assert r.labels.tolist() == [0, 1]  # person, cat
+
+
+def test_split_dataset_labels_contiguous(tmp_path):
+    # a "last-N" style split json: only later METAINFO classes present
+    cats = [(84, 'book'), (85, 'clock'), (90, 'toothbrush')]
+    path = make_coco_json(
+        tmp_path, cats, [(5, 320, 320)],
+        [(5, 85, [0, 0, 30, 30]), (5, 90, [50, 50, 30, 30])])
+    ds = CocoDataset(path)
+    assert ds.label_names == ['book', 'clock', 'toothbrush']
+    assert ds[0].labels.tolist() == [1, 2]
+
+
+def test_filtering(tmp_path):
+    cats = [(1, 'person')]
+    imgs = [(1, 640, 480), (2, 640, 480), (3, 16, 16)]
+    anns = [(1, 1, [0, 0, 50, 50]),          # normal
+            (3, 1, [0, 0, 10, 10]),          # tiny image
+            (2, 1, [0, 0, 50, 50], 1)]       # only crowd ann on img 2
+    path = make_coco_json(tmp_path, cats, imgs, anns)
+    ds = CocoDataset(path)
+    assert [r.img_id for r in ds.records] == [1]
+    ds_test = CocoDataset(path, test_mode=True)
+    assert len(ds_test) == 3
+
+
+def test_rescale_size():
+    assert rescale_size(480, 640, (1333, 800)) == (800, 1067)
+    assert rescale_size(640, 480, (1333, 800)) == (1067, 800)
+    assert rescale_size(200, 1400, (1333, 800)) == (190, 1333)
+
+
+def test_bucket_shapes():
+    assert bucket_shape(480, 640) == (800, 1344)
+    assert bucket_shape(640, 480) == (1344, 800)
+    assert bucket_shape(500, 500) == (800, 1344)
+
+
+def test_pipeline_geometry(tmp_path):
+    cats = [(1, 'person')]
+    path = make_coco_json(tmp_path, cats, [(1, 640, 480)],
+                          [(1, 1, [100, 50, 200, 100])])
+    ds = CocoDataset(path)
+    pipe = DetPipeline(training=False)
+    img = np.full((480, 640, 3), 128, np.uint8)
+    canvas, gt, meta = pipe(ds[0], image=img)
+    assert canvas.shape == (800, 1344, 3)
+    np.testing.assert_allclose(meta.img_shape, [800, 1067])
+    sx, sy = 1067 / 640, 800 / 480
+    np.testing.assert_allclose(meta.scale_factor, [sx, sy], rtol=1e-6)
+    m = np.asarray(gt.mask)
+    assert m.sum() == 1
+    np.testing.assert_allclose(
+        np.asarray(gt.bboxes)[0],
+        [100 * sx, 50 * sy, 300 * sx, 150 * sy], rtol=1e-5)
+    # padding region zeroed
+    assert canvas[:, 1067:].max() == 0
+    assert canvas[:800, :1067].min() == 128
+
+
+def test_pipeline_flip(tmp_path):
+    cats = [(1, 'person')]
+    path = make_coco_json(tmp_path, cats, [(1, 100, 100)],
+                          [(1, 1, [10, 20, 30, 40])])
+    ds = CocoDataset(path)
+    pipe = DetPipeline(training=True, flip_prob=1.0, scale=(100, 100))
+    img = np.zeros((100, 100, 3), np.uint8)
+    img[:, :50] = 255  # left half bright
+    canvas, gt, meta = pipe(ds[0], rng=np.random.RandomState(0), image=img)
+    assert bool(meta.flip)
+    # bright half moved right
+    assert canvas[0, 99, 0] == 255 and canvas[0, 0, 0] == 0
+    b = np.asarray(gt.bboxes)[0]
+    np.testing.assert_allclose(b, [100 - 40, 20, 100 - 10, 60], rtol=1e-5)
+
+
+def test_loader_batching(tmp_path):
+    cats = [(1, 'person')]
+    imgs = [(i, 64 if i % 2 else 48, 48 if i % 2 else 64)
+            for i in range(1, 11)]
+    anns = [(i, 1, [1, 1, 20, 20]) for i in range(1, 11)]
+    path = make_coco_json(tmp_path, cats, imgs, anns)
+    ds = CocoDataset(path)
+
+    class FakePipe(DetPipeline):
+        def __call__(self, record, rng=None, image=None):
+            img = np.zeros((record.height, record.width, 3), np.uint8)
+            return super().__call__(record, rng, image=img)
+
+    loader = DetDataLoader(ds, FakePipe(scale=(64, 48)),
+                           LoaderConfig(batch_size=2, seed=0))
+    batches = list(loader.epoch(0))
+    # 5 landscape + 5 portrait, bs=2, drop_last -> 2 + 2 batches
+    assert len(batches) == 4
+    loader_all = DetDataLoader(ds, FakePipe(scale=(64, 48)),
+                               LoaderConfig(batch_size=2, seed=0,
+                                            drop_last=False))
+    all_batches = list(loader_all.epoch(0))
+    assert len(all_batches) == 6
+    n_valid = sum(int(np.asarray(b['meta'].valid).sum())
+                  for b in all_batches)
+    assert n_valid == 10
+    for b in batches:
+        assert b['images'].shape[0] == 2
+        # orientation-homogeneous batch: one canvas shape
+        assert b['images'].shape[1:3] in ((64, 64), (64, 64))
+        assert b['gt'].bboxes.shape == (2, 100, 4)
+        assert b['meta'].img_id.shape == (2,)
+    # determinism
+    batches2 = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]['images'],
+                                  batches2[0]['images'])
