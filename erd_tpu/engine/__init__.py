@@ -1,0 +1,12 @@
+from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+from .hooks import CheckInvalidLossHook, Hook, LoggerHook, MemoryReportHook
+from .optim import resnet_frozen_paths, sgd_optimizer
+from .schedules import auto_scale_lr, warmup_multistep
+from .train_loop import Trainer, TrainerConfig, run_evaluation
+
+__all__ = [
+    'Trainer', 'TrainerConfig', 'run_evaluation', 'sgd_optimizer',
+    'resnet_frozen_paths', 'warmup_multistep', 'auto_scale_lr',
+    'save_checkpoint', 'load_checkpoint', 'latest_checkpoint', 'Hook',
+    'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',
+]

@@ -1,0 +1,101 @@
+"""Training hooks: logging, NaN guard, timing, memory report.
+
+Covers the reference's default hook set and guards
+(/root/reference/mmdet/engine/hooks/: CheckInvalidLossHook checkloss_hook.py:12,
+IterTimerHook/LoggerHook via LogProcessor window=50,
+MemoryProfilerHook memory_profiler_hook.py:12) in a single lightweight
+callback list driven by the trainer.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+from collections import deque
+from typing import Dict, Optional
+
+import numpy as np
+
+log = logging.getLogger('erd_tpu')
+
+
+class Hook:
+
+    def before_train(self, trainer):
+        pass
+
+    def after_iter(self, trainer, step, losses: Dict[str, float]):
+        pass
+
+    def after_epoch(self, trainer, epoch):
+        pass
+
+
+class LoggerHook(Hook):
+    """Windowed loss/throughput logging (LogProcessor window=50 analogue)."""
+
+    def __init__(self, interval=50, window=50, json_path=None):
+        self.interval = interval
+        self.window = window
+        self.json_path = json_path
+        self._times = deque(maxlen=window)
+        self._losses = deque(maxlen=window)
+        self._t0 = None
+
+    def before_train(self, trainer):
+        self._t0 = time.perf_counter()
+
+    def after_iter(self, trainer, step, losses):
+        t = time.perf_counter()
+        self._times.append(t - self._t0)
+        self._t0 = t
+        self._losses.append(losses)
+        if (step + 1) % self.interval == 0:
+            avg_t = float(np.mean(self._times))
+            keys = self._losses[-1].keys()
+            avg = {k: float(np.mean([d[k] for d in self._losses]))
+                   for k in keys}
+            lr = trainer.current_lr(step)
+            ips = trainer.global_batch_size / max(avg_t, 1e-9)
+            msg = (f'iter {step + 1} lr {lr:.3e} time {avg_t * 1000:.0f}ms '
+                   f'({ips:.1f} img/s) ' +
+                   ' '.join(f'{k} {v:.4f}' for k, v in avg.items()))
+            log.info(msg)
+            if self.json_path:
+                with open(self.json_path, 'a') as f:
+                    f.write(json.dumps(
+                        dict(step=step + 1, lr=lr, iter_time=avg_t,
+                             images_per_sec=ips, **avg)) + '\n')
+
+
+class CheckInvalidLossHook(Hook):
+    """Raise on non-finite total loss every ``interval`` iters."""
+
+    def __init__(self, interval=50):
+        self.interval = interval
+
+    def after_iter(self, trainer, step, losses):
+        if (step + 1) % self.interval == 0:
+            total = sum(losses.values())
+            if not np.isfinite(total):
+                raise FloatingPointError(
+                    f'non-finite loss at iter {step + 1}: {losses}')
+
+
+class MemoryReportHook(Hook):
+    """Log device memory stats every ``interval`` iters (when available)."""
+
+    def __init__(self, interval=500):
+        self.interval = interval
+
+    def after_iter(self, trainer, step, losses):
+        if (step + 1) % self.interval == 0:
+            import jax
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+            except Exception:
+                return
+            used = stats.get('bytes_in_use')
+            if used is not None:
+                log.info(f'iter {step + 1} device bytes_in_use '
+                         f'{used / 2**20:.0f} MiB')

@@ -1,0 +1,159 @@
+"""Training / evaluation loops: the mmengine Runner replacement.
+
+Single-controller SPMD: one python process drives a jitted, donated train
+step whose batch is sharded over the ``data`` mesh axis and whose params are
+replicated — the gradient all-reduce, the ``avg_factor`` normalizer reduction
+(reference reduce_mean, mmdet/utils/dist_utils.py:59-65) and the loss psum
+all fall out of XLA's partitioning of global-batch reductions; there is no
+explicit NCCL-style collective anywhere.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+from .hooks import CheckInvalidLossHook, Hook, LoggerHook
+from .optim import sgd_optimizer
+from .schedules import auto_scale_lr, warmup_multistep
+
+log = logging.getLogger('erd_tpu')
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 12
+    base_lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_iters: int = 500
+    warmup_factor: float = 0.001
+    milestones_epochs: tuple = (8, 11)
+    gamma: float = 0.1
+    frozen_stages: int = 1
+    auto_scale_base_batch: int = 16
+    grad_clip: Optional[float] = None
+    log_interval: int = 50
+    ckpt_dir: Optional[str] = None
+    ckpt_interval_epochs: int = 1
+    val_interval: int = 1
+
+
+class Trainer:
+    """Drives detector.loss over a data mesh with SGD; epoch-based."""
+
+    def __init__(self, detector, train_loader, cfg: TrainerConfig,
+                 teacher_variables=None, mesh=None, hooks: List[Hook] = None,
+                 val_fn=None):
+        self.det = detector
+        self.loader = train_loader
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.teacher_variables = teacher_variables
+        self.val_fn = val_fn
+        self.hooks = hooks if hooks is not None else [
+            LoggerHook(cfg.log_interval), CheckInvalidLossHook()]
+
+        self.global_batch_size = train_loader.cfg.batch_size
+        self.steps_per_epoch = train_loader.steps_per_epoch(0)
+        lr = auto_scale_lr(cfg.base_lr, self.global_batch_size,
+                           cfg.auto_scale_base_batch)
+        milestones = [m * self.steps_per_epoch
+                      for m in cfg.milestones_epochs]
+        self.schedule = warmup_multistep(
+            lr, cfg.warmup_iters, cfg.warmup_factor, milestones, cfg.gamma)
+        self.tx = sgd_optimizer(self.schedule, cfg.momentum,
+                                cfg.weight_decay, cfg.frozen_stages,
+                                cfg.grad_clip)
+        self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, params, opt_state, consts, batch, teacher):
+        def loss_fn(p):
+            variables = {'params': p, **consts}
+            if teacher is not None:
+                losses = self.det.loss(variables, batch,
+                                       teacher_variables=teacher)
+            else:
+                losses = self.det.loss(variables, batch)
+            return sum(jax.tree.leaves(losses)), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, losses
+
+    def current_lr(self, step):
+        return float(self.schedule(step))
+
+    # ------------------------------------------------------------------
+    def fit(self, variables, start_epoch=0, resume=False):
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        params = replicate(variables['params'], self.mesh)
+        consts = replicate(consts, self.mesh)
+        opt_state = jax.jit(self.tx.init)(params)
+        opt_state = replicate(opt_state, self.mesh)
+        teacher = (replicate(self.teacher_variables, self.mesh)
+                   if self.teacher_variables is not None else None)
+
+        step = start_epoch * self.steps_per_epoch
+        if resume and self.cfg.ckpt_dir:
+            path = latest_checkpoint(self.cfg.ckpt_dir)
+            if path:
+                state = load_checkpoint(path, dict(
+                    params=params, opt_state=opt_state,
+                    step=np.asarray(0)))
+                params, opt_state = state['params'], state['opt_state']
+                step = int(state['step'])
+                start_epoch = step // self.steps_per_epoch
+                log.info(f'resumed from {path} at step {step}')
+
+        for h in self.hooks:
+            h.before_train(self)
+
+        for epoch in range(start_epoch, self.cfg.epochs):
+            log.info(f'epoch {epoch + 1}/{self.cfg.epochs}')
+            for batch in self.loader.epoch(epoch):
+                batch = shard_batch(batch, self.mesh)
+                params, opt_state, losses = self._train_step(
+                    params, opt_state, consts, batch, teacher)
+                host_losses = {k: float(v) for k, v in losses.items()}
+                for h in self.hooks:
+                    h.after_iter(self, step, host_losses)
+                step += 1
+            for h in self.hooks:
+                h.after_epoch(self, epoch)
+            if self.cfg.ckpt_dir and \
+                    (epoch + 1) % self.cfg.ckpt_interval_epochs == 0:
+                save_checkpoint(self.cfg.ckpt_dir, step, dict(
+                    params=params, opt_state=opt_state,
+                    step=np.asarray(step)))
+            if self.val_fn and (epoch + 1) % self.cfg.val_interval == 0:
+                metrics = self.val_fn({'params': params, **consts})
+                log.info(f'epoch {epoch + 1} val: ' + ' '.join(
+                    f'{k} {v:.4f}' for k, v in metrics.items()
+                    if isinstance(v, float)))
+
+        return {'params': params, **consts}
+
+
+def run_evaluation(detector, variables, loader, metric, max_batches=None):
+    """Test loop (tools/test.py analogue): predict -> accumulate -> compute."""
+    n = 0
+    for epoch_batch in loader.epoch(0):
+        res = detector.predict_jit(variables, epoch_batch)
+        metric.process_batch(res, epoch_batch['meta'])
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+    return metric.compute_metrics()

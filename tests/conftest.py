@@ -12,6 +12,13 @@ if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon
+# already frozen into jax.config, so the env var alone is ignored; force the
+# config before any backend is created.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
