@@ -1,0 +1,121 @@
+"""Builders: Config dicts -> framework objects.
+
+The explicit (registry-free) replacement for mmdet's MODELS/DATASETS/...
+registries: each builder consumes the documented config schema under
+``configs/`` and returns concrete objects. Covers the build paths of
+tools/train.py and tools/test.py in the reference.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data import CocoDataset, DetDataLoader, DetPipeline, LoaderConfig
+from ..engine import Trainer, TrainerConfig
+from ..evaluation import CocoMetric
+from ..models import ERDConfig, ERDDetector, GFLDetector
+from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
+
+_DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
+
+
+def build_detector(model_cfg: Config, num_devices: int = 1):
+    mtype = model_cfg.get('type', 'GFL')
+    test = model_cfg.get('test_cfg', {})
+    train = model_cfg.get('train_cfg', {})
+    common = dict(
+        num_classes=model_cfg.get('num_classes', 80),
+        depth=model_cfg.get('depth', 50),
+        reg_max=model_cfg.get('reg_max', 16),
+        compute_dtype=_DTYPES[model_cfg.get('compute_dtype', 'float32')],
+        train_cfg=GFLTrainConfig(
+            assigner_topk=train.get('assigner_topk', 9)),
+        test_cfg=GFLTestConfig(
+            score_thr=test.get('score_thr', 0.05),
+            nms_pre=test.get('nms_pre', 1000),
+            iou_threshold=test.get('nms_iou_threshold', 0.6),
+            max_per_img=test.get('max_per_img', 100),
+            min_bbox_size=test.get('min_bbox_size', 0.0)),
+    )
+    if mtype == 'GFL':
+        return GFLDetector(**common)
+    if mtype == 'GFLIncrementERD':
+        erd = model_cfg.get('erd', {})
+        ori = model_cfg.get('ori_setting', {})
+        return ERDDetector(
+            erd=ERDConfig(
+                ori_num_classes=ori.get('ori_num_classes', 40),
+                dist_loss_weight=erd.get('dist_loss_weight', 1.0),
+                ld_weight=erd.get('ld_weight', 0.25),
+                ld_T=erd.get('ld_T', 10),
+                distill_nms_iou=erd.get('distill_nms_iou', 0.005),
+                ers_cls_cap=erd.get('ers_cls_cap', 1000),
+                ers_reg_cap=erd.get('ers_reg_cap', 1000),
+                num_devices=num_devices),
+            **common)
+    raise KeyError(f'unknown model type {mtype}')
+
+
+def build_dataset(cfg: Config, loader_cfg: Config,
+                  data_root: str = '', test_mode=False) -> CocoDataset:
+    ds_cfg = loader_cfg.dataset
+    return CocoDataset(
+        ann_file=os.path.join(data_root, ds_cfg.ann_file),
+        img_prefix=os.path.join(data_root, ds_cfg.get('img_prefix', '')),
+        filter_empty_gt=ds_cfg.get('filter_empty_gt', True),
+        min_size=ds_cfg.get('min_size', 32),
+        test_mode=test_mode)
+
+
+def build_loader(dataset, loader_cfg: Config, training=True,
+                 seed=0) -> DetDataLoader:
+    pipe_cfg = loader_cfg.get('pipeline', {})
+    pipeline = DetPipeline(
+        scale=tuple(pipe_cfg.get('scale', (1333, 800))),
+        flip_prob=pipe_cfg.get('flip_prob', 0.5 if training else 0.0),
+        max_gt=pipe_cfg.get('max_gt', 100),
+        training=training)
+    return DetDataLoader(dataset, pipeline, LoaderConfig(
+        batch_size=loader_cfg.get('batch_size', 16),
+        num_workers=loader_cfg.get('num_workers', 8),
+        seed=loader_cfg.get('seed', seed),
+        drop_last=loader_cfg.get('drop_last', training),
+        shuffle=loader_cfg.get('shuffle', training)))
+
+
+def build_metric(dataset, evaluator_cfg: Config) -> CocoMetric:
+    return CocoMetric(dataset,
+                      classwise=evaluator_cfg.get('classwise', False),
+                      outfile_prefix=evaluator_cfg.get('outfile_prefix'))
+
+
+def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
+                  teacher_variables=None, mesh=None,
+                  val_fn=None) -> Trainer:
+    optim = cfg.optim
+    scale = cfg.get('auto_scale_lr', {})
+    base_batch = scale.get('base_batch_size', 16) if \
+        scale.get('enable', True) else train_loader.cfg.batch_size
+    tc = TrainerConfig(
+        epochs=cfg.train_cfg.get('epochs', 12),
+        base_lr=optim.get('lr', 0.01),
+        momentum=optim.get('momentum', 0.9),
+        weight_decay=optim.get('weight_decay', 1e-4),
+        warmup_iters=optim.get('warmup_iters', 500),
+        warmup_factor=optim.get('warmup_factor', 0.001),
+        milestones_epochs=tuple(optim.get('milestones_epochs', (8, 11))),
+        gamma=optim.get('gamma', 0.1),
+        frozen_stages=cfg.model.get('frozen_stages', 1),
+        auto_scale_base_batch=base_batch,
+        grad_clip=optim.get('grad_clip'),
+        log_interval=cfg.get('log_interval', 50),
+        ckpt_dir=os.path.join(cfg.get('work_dir', 'work_dirs'),
+                              cfg.get('experiment', 'exp')),
+        ckpt_interval_epochs=cfg.get('ckpt_interval_epochs', 1),
+        val_interval=cfg.train_cfg.get('val_interval', 1))
+    return Trainer(detector, train_loader, tc,
+                   teacher_variables=teacher_variables, mesh=mesh,
+                   val_fn=val_fn)

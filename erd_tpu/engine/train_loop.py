@@ -99,7 +99,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, variables, start_epoch=0, resume=False):
         consts = {k: v for k, v in variables.items() if k != 'params'}
-        params = replicate(variables['params'], self.mesh)
+        # copy before replicating: the jitted step donates params/opt_state,
+        # and device_put may alias the caller's arrays, which donation would
+        # then delete out from under the caller.
+        params = jax.tree.map(jnp.copy, variables['params'])
+        params = replicate(params, self.mesh)
         consts = replicate(consts, self.mesh)
         opt_state = jax.jit(self.tx.init)(params)
         opt_state = replicate(opt_state, self.mesh)
