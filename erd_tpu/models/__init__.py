@@ -1,5 +1,8 @@
 from .backbones.resnet import ResNet
+from .detectors.atss import ATSSDetector
+from .detectors.fcos import FCOSDetector
 from .detectors.gfl_erd import ERDConfig, ERDDetector, ers_select
+from .detectors.retinanet import RetinaNetDetector
 from .detectors.single_stage import GFLDetector, GFLNet
 from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                              GFLTrainConfig, flatten_levels, gfl_loss,
@@ -9,7 +12,8 @@ from .preprocessor import Preprocessor
 
 __all__ = [
     'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
-    'ERDConfig', 'ers_select', 'AnchorContext',
+    'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
+    'FCOSDetector', 'ATSSDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]
