@@ -37,13 +37,17 @@ class GFLNet(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, return_feats: bool = False):
         feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
                        name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
                     start_level=1, add_extra_convs='on_output', num_outs=5,
                     name='neck')(feats)
+        if return_feats:
+            # extract_feat mode (single_stage.py:136-149): FPN pyramid only,
+            # used by the replay/exemplar scoring helpers.
+            return feats
         return GFLHeadNet(num_classes=self.num_classes,
                           in_channels=self.neck_out,
                           feat_channels=self.neck_out,
