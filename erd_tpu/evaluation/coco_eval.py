@@ -15,6 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..native import greedy_match_native as _greedy_match_native
+
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 RECALL_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)
 AREA_RANGES = {
@@ -76,27 +78,33 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_crowd,
     T = len(IOU_THRS)
     D = len(dt_boxes)
     G = len(gt_boxes)
-    dtm = np.zeros((T, D), np.int64)
-    gtm = np.zeros((T, G), np.int64)
-    dt_ig = np.zeros((T, D), bool)
-    for ti, thr in enumerate(IOU_THRS):
-        for d in range(D):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for g in range(G):
-                if gtm[ti, g] and not gt_crowd_s[g]:
-                    continue  # gt already claimed (crowds can absorb many)
-                if best_g > -1 and not gt_ig[best_g] and gt_ig[g]:
-                    break  # only ignored gts remain; keep the real match
-                if ious[d, g] < best_iou:
+    native = _greedy_match_native(
+        IOU_THRS, ious.astype(np.float32), gt_ig.astype(np.uint8),
+        gt_crowd_s.astype(np.uint8)) if D and G else None
+    if native is not None:
+        dtm, dt_ig = native
+    else:
+        dtm = np.zeros((T, D), np.int64)
+        gtm = np.zeros((T, G), np.int64)
+        dt_ig = np.zeros((T, D), bool)
+        for ti, thr in enumerate(IOU_THRS):
+            for d in range(D):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for g in range(G):
+                    if gtm[ti, g] and not gt_crowd_s[g]:
+                        continue  # gt claimed (crowds can absorb many)
+                    if best_g > -1 and not gt_ig[best_g] and gt_ig[g]:
+                        break  # only ignored gts remain; keep real match
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g == -1:
                     continue
-                best_iou = ious[d, g]
-                best_g = g
-            if best_g == -1:
-                continue
-            dtm[ti, d] = best_g + 1
-            gtm[ti, best_g] = d + 1
-            dt_ig[ti, d] = gt_ig[best_g]
+                dtm[ti, d] = best_g + 1
+                gtm[ti, best_g] = d + 1
+                dt_ig[ti, d] = gt_ig[best_g]
 
     # unmatched dets outside the area range are ignored, not false positives
     d_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * \

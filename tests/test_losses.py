@@ -153,7 +153,8 @@ def test_focal_loss_matches_torch(rng):
 def test_weight_reduce_protocol():
     loss = jnp.asarray([1.0, 2.0, 3.0])
     w = jnp.asarray([1.0, 0.0, 1.0])
-    assert float(weight_reduce_loss(loss, w, 'mean', None)) == \
-        float((1 + 0 + 3) / 3)
+    np.testing.assert_allclose(
+        float(weight_reduce_loss(loss, w, 'mean', None)), (1 + 0 + 3) / 3,
+        rtol=1e-6)
     np.testing.assert_allclose(
         float(weight_reduce_loss(loss, w, 'mean', 2.0)), 2.0, rtol=1e-5)
