@@ -1,4 +1,5 @@
 from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+from .ema import MeanTeacherHook, ema_update, exp_momentum
 from .hooks import CheckInvalidLossHook, Hook, LoggerHook, MemoryReportHook
 from .optim import resnet_frozen_paths, sgd_optimizer
 from .schedules import auto_scale_lr, warmup_multistep
@@ -9,4 +10,5 @@ __all__ = [
     'resnet_frozen_paths', 'warmup_multistep', 'auto_scale_lr',
     'save_checkpoint', 'load_checkpoint', 'latest_checkpoint', 'Hook',
     'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',
+    'MeanTeacherHook', 'ema_update', 'exp_momentum',
 ]

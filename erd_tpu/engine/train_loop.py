@@ -131,6 +131,7 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
                 params, opt_state, losses = self._train_step(
                     params, opt_state, consts, batch, teacher)
+                self.latest_params = params  # hooks (e.g. EMA) read this
                 host_losses = {k: float(v) for k, v in losses.items()}
                 for h in self.hooks:
                     h.after_iter(self, step, host_losses)
