@@ -73,11 +73,13 @@ def build_dataset(cfg: Config, loader_cfg: Config,
 def build_loader(dataset, loader_cfg: Config, training=True,
                  seed=0) -> DetDataLoader:
     pipe_cfg = loader_cfg.get('pipeline', {})
+    ms = pipe_cfg.get('ms_scales')
     pipeline = DetPipeline(
         scale=tuple(pipe_cfg.get('scale', (1333, 800))),
         flip_prob=pipe_cfg.get('flip_prob', 0.5 if training else 0.0),
         max_gt=pipe_cfg.get('max_gt', 100),
-        training=training)
+        training=training,
+        ms_scales=tuple(tuple(s) for s in ms) if ms else None)
     return DetDataLoader(dataset, pipeline, LoaderConfig(
         batch_size=loader_cfg.get('batch_size', 16),
         num_workers=loader_cfg.get('num_workers', 8),

@@ -63,19 +63,32 @@ def bucket_shape(h: int, w: int, scale=(1333, 800), divisor=32):
 
 @dataclass
 class DetPipeline:
-    """record -> (canvas uint8, GTInstances, ImageMeta), all static shapes."""
+    """record -> (canvas uint8, GTInstances, ImageMeta), all static shapes.
+
+    ``ms_scales``: optional list of alternative (long, short) scales for
+    multi-scale training (the RandomChoiceResize of ms-2x recipes). All
+    choices must fit the canvas of ``scale`` — smaller scales simply pad
+    more, so the compiled bucket shapes never change.
+    """
     scale: Tuple[int, int] = (1333, 800)
     flip_prob: float = 0.5
     max_gt: int = 100
     divisor: int = 32
     training: bool = True
+    ms_scales: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def __call__(self, record: ImageRecord,
                  rng: Optional[np.random.RandomState] = None,
                  image: Optional[np.ndarray] = None):
         img = image if image is not None else imread_rgb(record.path)
         ori_h, ori_w = img.shape[:2]
-        new_h, new_w = rescale_size(ori_h, ori_w, self.scale)
+        scale = self.scale
+        if self.training and self.ms_scales and rng is not None:
+            scale = self.ms_scales[rng.randint(len(self.ms_scales))]
+            assert max(scale) <= max(self.scale) and \
+                min(scale) <= min(self.scale), \
+                f'ms scale {scale} exceeds canvas scale {self.scale}'
+        new_h, new_w = rescale_size(ori_h, ori_w, scale)
         img = resize_image(img, (new_h, new_w))
         sx, sy = new_w / ori_w, new_h / ori_h
 
