@@ -19,7 +19,7 @@ import numpy as np
 
 from ...losses import (binary_cross_entropy_with_logits, giou_loss,
                        sigmoid_focal_loss)
-from ...ops import filter_scores_and_topk, nms_select
+from ...ops import cap_candidates, filter_scores_and_topk, nms_select
 from ...structures import DetResults
 from ...structures.boxes import scale_boxes
 from ...task.coder import DeltaXYWHBBoxCoder
@@ -140,6 +140,8 @@ def atss_predict(ctx: AnchorContext, cls_lvl, reg_lvl, ctr_lvl, meta,
         scores = jnp.concatenate(scores_all)
         labels = jnp.concatenate(labels_all)
         valid = jnp.concatenate(mask_all)
+        scores, valid, boxes, labels = cap_candidates(
+            scores, valid, cfg.pre_nms_total, boxes, labels)
         if rescale:
             boxes = scale_boxes(boxes, 1.0 / scale_factor)
         ob, os_, ol, om = nms_select(boxes, scores, labels,

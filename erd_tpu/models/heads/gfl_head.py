@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...losses import (distribution_focal_loss, giou_loss, quality_focal_loss)
-from ...ops import filter_scores_and_topk, integral, nms_select
+from ...ops import (cap_candidates, filter_scores_and_topk, integral,
+                    nms_select)
 from ...structures import DetResults, bbox_overlaps, distance2bbox
 from ...structures.boxes import bbox2distance, bbox_center, scale_boxes
 from ...task import AnchorGenerator, atss_assign, featmap_sizes_for
@@ -135,6 +136,12 @@ class GFLTestConfig:
     iou_threshold: float = 0.6
     max_per_img: int = 100
     min_bbox_size: float = 0.0
+    # Global cap on candidates entering NMS after level concat. The
+    # reference feeds up to num_levels*nms_pre candidates to its CUDA NMS;
+    # a fixed-shape NMS pays O(cap^2) memory + O(cap) sequential steps, so
+    # we keep the strongest ``pre_nms_total`` by score (loss-free in
+    # practice for max_per_img=100).
+    pre_nms_total: int = 1000
 
 
 def flatten_levels(level_maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -287,6 +294,8 @@ def gfl_predict(ctx: AnchorContext, cls_scores_lvl, bbox_preds_lvl, meta,
         scores = jnp.concatenate(all_scores)
         labels = jnp.concatenate(all_labels)
         valid = jnp.concatenate(all_masks)
+        scores, valid, boxes, labels = cap_candidates(
+            scores, valid, cfg.pre_nms_total, boxes, labels)
 
         if rescale:
             boxes = scale_boxes(boxes, 1.0 / scale_factor)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...losses import l1_loss, sigmoid_focal_loss
-from ...ops import filter_scores_and_topk, nms_select
+from ...ops import cap_candidates, filter_scores_and_topk, nms_select
 from ...structures import DetResults
 from ...structures.boxes import scale_boxes
 from ...task import AnchorGenerator
@@ -175,6 +175,8 @@ def retina_predict(ctx: AnchorContext, cls_scores_lvl, bbox_preds_lvl, meta,
         scores = jnp.concatenate(scores_all)
         labels = jnp.concatenate(labels_all)
         valid = jnp.concatenate(mask_all)
+        scores, valid, boxes, labels = cap_candidates(
+            scores, valid, cfg.pre_nms_total, boxes, labels)
         if rescale:
             boxes = scale_boxes(boxes, 1.0 / scale_factor)
         ob, os_, ol, om = nms_select(boxes, scores, labels,

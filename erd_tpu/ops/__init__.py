@@ -1,9 +1,10 @@
 from .integral import integral
-from .misc import (filter_scores_and_topk, masked_mean_std, topk_mask_select,
-                   unmap)
+from .misc import (cap_candidates, filter_scores_and_topk, masked_mean_std,
+                   topk_mask_select, unmap)
 from .nms import batched_nms_mask, nms_mask, nms_select
 
 __all__ = [
     'integral', 'nms_mask', 'batched_nms_mask', 'nms_select',
     'filter_scores_and_topk', 'topk_mask_select', 'masked_mean_std', 'unmap',
+    'cap_candidates',
 ]

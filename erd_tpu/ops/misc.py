@@ -55,6 +55,22 @@ def masked_mean_std(x, mask, ddof=1, eps=1e-12):
     return mean, jnp.sqrt(jnp.maximum(var, eps))
 
 
+def cap_candidates(scores, valid, k, *arrays):
+    """Keep the top-``k`` valid entries by score; gather companion arrays.
+
+    Returns (scores (k,), valid (k,), *gathered arrays). Used to bound the
+    candidate count entering fixed-shape NMS.
+    """
+    k = min(k, scores.shape[0])
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, k)
+    new_valid = top > -jnp.inf
+    out = [jnp.where(new_valid, top, 0.0), new_valid]
+    for a in arrays:
+        out.append(a[idx])
+    return tuple(out)
+
+
 def unmap(data, count, inds, fill=0):
     """Scatter ``data`` rows to a ``count``-row canvas at ``inds``."""
     shape = (count,) + data.shape[1:]
