@@ -1,0 +1,201 @@
+"""Faster R-CNN: two-stage detector assembly.
+
+Behavioural mirror of /root/reference/mmdet/models/detectors/faster_rcnn.py
++ two_stage.py + roi_heads/standard_roi_head.py with the
+faster-rcnn_r50_fpn_1x config: R50 + FPN(P2-P6, maxpool extra) + RPN +
+RoIAlign(7, aligned) + Shared2FC bbox head. All stages fixed-shape: 1000
+padded proposals, 512 sampled RoIs, masked losses. RoI sampling randomness
+derives from a PRNG key folded with the batch's image ids (deterministic,
+batch-varying — the functional replacement for torch's global RNG).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.roi_align import multilevel_roi_align
+from ...structures import DetResults
+from ...task.coder import DeltaXYWHBBoxCoder
+from ..backbones.resnet import ResNet
+from ..heads.bbox_head import (RCNNTrainConfig, Shared2FCBBoxHead,
+                               rcnn_loss, rcnn_predict_single,
+                               rcnn_sample_single)
+from ..heads.gfl_head import AnchorContext, GFLTestConfig
+from ..heads.rpn_head import (ProposalConfig, RPNHeadNet, RPNTrainConfig,
+                              rpn_anchor_generator, rpn_loss, rpn_proposals)
+from ..necks.fpn import FPN
+from ..preprocessor import Preprocessor
+
+
+class FasterRCNNNet(nn.Module):
+    num_classes: int
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth,
+                               compute_dtype=self.compute_dtype)
+        in_ch = {18: (64, 128, 256, 512), 34: (64, 128, 256, 512)}.get(
+            self.depth, (256, 512, 1024, 2048))
+        self.neck = FPN(in_channels=in_ch, out_channels=256, start_level=0,
+                        add_extra_convs='', num_outs=5)
+        self.rpn_head = RPNHeadNet()
+        self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes)
+
+    def extract_feat(self, images):
+        return self.neck(self.backbone(images))
+
+    def rpn(self, feats):
+        return self.rpn_head(feats)
+
+    def roi_forward(self, roi_feats):
+        return self.bbox_head(roi_feats)
+
+    def __call__(self, images):
+        """Init path: touch every submodule."""
+        feats = self.extract_feat(images)
+        rpn_out = self.rpn_head(feats)
+        dummy_rois = jnp.zeros((4, 7, 7, feats[0].shape[-1]),
+                               feats[0].dtype)
+        head_out = self.bbox_head(dummy_rois)
+        return rpn_out, head_out
+
+
+@dataclass
+class FasterRCNNDetector:
+    num_classes: int = 80
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+    preprocessor: Preprocessor = field(default_factory=Preprocessor)
+    rpn_train_cfg: RPNTrainConfig = field(default_factory=RPNTrainConfig)
+    rcnn_train_cfg: RCNNTrainConfig = field(default_factory=RCNNTrainConfig)
+    proposal_cfg_train: ProposalConfig = field(
+        default_factory=lambda: ProposalConfig(nms_pre=2000,
+                                               max_per_img=1000))
+    proposal_cfg_test: ProposalConfig = field(
+        default_factory=lambda: ProposalConfig(nms_pre=1000,
+                                               max_per_img=1000))
+    test_cfg: GFLTestConfig = field(
+        default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
+
+    def __post_init__(self):
+        self.net = FasterRCNNNet(num_classes=self.num_classes,
+                                 depth=self.depth,
+                                 compute_dtype=self.compute_dtype)
+        self.anchor_generator = rpn_anchor_generator()
+        self.rpn_coder = DeltaXYWHBBoxCoder()
+        self.rcnn_coder = DeltaXYWHBBoxCoder(
+            target_stds=(0.1, 0.1, 0.2, 0.2))
+        self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
+        self.loss_jit = jax.jit(self.loss)
+        self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
+        self.forward_jit = jax.jit(self.forward_raw)
+
+    def anchor_context(self, image_shape) -> AnchorContext:
+        key = tuple(int(v) for v in image_shape)
+        if key not in self._ctx_cache:
+            self._ctx_cache[key] = AnchorContext.build(
+                key, self.anchor_generator)
+        return self._ctx_cache[key]
+
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
+                          jnp.uint8)
+        return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
+
+    def forward_raw(self, variables, images):
+        """mode='tensor': (rpn outputs, dummy-roi head outputs)."""
+        return self.net.apply(variables, self.preprocessor(images))
+
+    # ------------------------------------------------------------------
+    def _feats_and_rpn(self, variables, images):
+        feats = self.net.apply(variables, self.preprocessor(images),
+                               method=FasterRCNNNet.extract_feat)
+        rpn_cls, rpn_reg = self.net.apply(variables, feats,
+                                          method=FasterRCNNNet.rpn)
+        return feats, rpn_cls, rpn_reg
+
+    def loss(self, variables, batch):
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        feats, rpn_cls, rpn_reg = self._feats_and_rpn(variables, images)
+        b = images.shape[0]
+        cls_flat = jnp.concatenate(
+            [m.reshape(b, -1) for m in rpn_cls], axis=1).astype(jnp.float32)
+        reg_flat = jnp.concatenate(
+            [m.reshape(b, -1, 4) for m in rpn_reg], axis=1)
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 batch['meta'].img_id.sum())
+        losses = rpn_loss(ctx, cls_flat, reg_flat, batch['gt'],
+                          batch['meta'].img_shape, rng, self.rpn_coder,
+                          self.rpn_train_cfg)
+
+        prop_boxes, prop_scores, prop_mask = rpn_proposals(
+            ctx, [jax.lax.stop_gradient(c.astype(jnp.float32))
+                  for c in rpn_cls],
+            [jax.lax.stop_gradient(r) for r in rpn_reg],
+            batch['meta'].img_shape, self.rpn_coder,
+            self.proposal_cfg_train)
+
+        rngs = jax.random.split(jax.random.fold_in(rng, 1), b)
+        samples = jax.vmap(
+            lambda k, p, pm, gb, gl, gm: rcnn_sample_single(
+                k, p, pm, gb, gl, gm, self.num_classes, self.rcnn_coder,
+                self.rcnn_train_cfg)
+        )(rngs, prop_boxes, prop_mask, batch['gt'].bboxes,
+          batch['gt'].labels, batch['gt'].mask)
+
+        roi_feats = jax.vmap(
+            lambda f0, f1, f2, f3, r: multilevel_roi_align(
+                [f0, f1, f2, f3], r)
+        )(feats[0].astype(jnp.float32), feats[1].astype(jnp.float32),
+          feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
+          samples.rois)
+        s = samples.rois.shape[1]
+        cls_logits, reg_preds = self.net.apply(
+            variables, roi_feats.reshape(b * s, 7, 7, -1),
+            method=FasterRCNNNet.roi_forward)
+        rcnn_losses, acc = rcnn_loss(cls_logits.astype(jnp.float32),
+                                     reg_preds.astype(jnp.float32), samples,
+                                     self.num_classes, self.rcnn_train_cfg)
+        losses['loss_cls'] = rcnn_losses['loss_cls']
+        losses['loss_bbox'] = rcnn_losses['loss_bbox']
+        return losses
+
+    def predict(self, variables, batch, rescale=True):
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        feats, rpn_cls, rpn_reg = self._feats_and_rpn(variables, images)
+        prop_boxes, prop_scores, prop_mask = rpn_proposals(
+            ctx, [c.astype(jnp.float32) for c in rpn_cls],
+            [r.astype(jnp.float32) for r in rpn_reg],
+            batch['meta'].img_shape, self.rpn_coder,
+            self.proposal_cfg_test)
+        b, p = prop_boxes.shape[:2]
+        roi_feats = jax.vmap(
+            lambda f0, f1, f2, f3, r: multilevel_roi_align(
+                [f0, f1, f2, f3], r)
+        )(feats[0].astype(jnp.float32), feats[1].astype(jnp.float32),
+          feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
+          prop_boxes)
+        cls_logits, reg_preds = self.net.apply(
+            variables, roi_feats.reshape(b * p, 7, 7, -1),
+            method=FasterRCNNNet.roi_forward)
+        cls_logits = cls_logits.astype(jnp.float32).reshape(b, p, -1)
+        reg_preds = reg_preds.astype(jnp.float32).reshape(b, p, -1)
+
+        def single(cl, rg, rois, rmask, img_shape, scale_factor):
+            ob, os_, ol, om = rcnn_predict_single(
+                cl, rg, rois, rmask, img_shape, scale_factor,
+                self.num_classes, self.rcnn_coder, self.test_cfg,
+                rescale=rescale)
+            return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
+
+        return jax.vmap(single)(cls_logits, reg_preds, prop_boxes,
+                                prop_mask, batch['meta'].img_shape,
+                                batch['meta'].scale_factor)

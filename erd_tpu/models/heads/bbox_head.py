@@ -1,0 +1,143 @@
+"""R-CNN bbox head (Shared2FC) + RoI target building + losses + predict.
+
+Behavioural mirror of /root/reference/mmdet/models/roi_heads/bbox_heads/
+convfc_bbox_head.py (Shared2FCBBoxHead) with the faster-rcnn_r50_fpn config:
+flatten 7x7x256 -> fc1024 -> fc1024 -> {softmax CE over C+1, class-specific
+4C deltas with stds (0.1, 0.1, 0.2, 0.2), L1 loss}; RoI assignment
+MaxIoU(0.5/0.5, no low-quality matches), RandomSampler(512, 0.25,
+add_gt_as_proposals).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ...losses import cross_entropy_int
+from ...ops import nms_select
+from ...structures.boxes import scale_boxes
+from ...task.coder import DeltaXYWHBBoxCoder
+from ...task.max_iou import max_iou_assign
+from ...task.samplers import random_sample
+from .gfl_head import GFLTestConfig
+
+
+class Shared2FCBBoxHead(nn.Module):
+    num_classes: int
+    fc_dim: int = 1024
+    reg_class_agnostic: bool = False
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """(R, 7, 7, C) -> (cls (R, C+1), reg (R, 4C or 4))."""
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc0')(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc1')(x))
+        cls = nn.Dense(self.num_classes + 1,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name='fc_cls')(x)
+        nreg = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(nreg, kernel_init=nn.initializers.normal(0.001),
+                       name='fc_reg')(x)
+        return cls, reg
+
+
+@dataclass(frozen=True)
+class RCNNTrainConfig:
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.5
+    num_samples: int = 512
+    pos_fraction: float = 0.25
+    add_gt_as_proposals: bool = True
+    cls_weight: float = 1.0
+    bbox_weight: float = 1.0
+
+
+@flax.struct.dataclass
+class RoISamples:
+    """Per-image fixed-size sampled RoIs and their targets."""
+    rois: jnp.ndarray         # (S, 4)
+    labels: jnp.ndarray       # (S,) int32, num_classes = background
+    deltas: jnp.ndarray       # (S, 4) encoded targets (pos only meaningful)
+    is_pos: jnp.ndarray       # (S,)
+    valid: jnp.ndarray        # (S,)
+
+
+def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
+                       num_classes, coder: DeltaXYWHBBoxCoder,
+                       cfg: RCNNTrainConfig):
+    """Assign+sample one image's proposals (optionally + gt boxes)."""
+    if cfg.add_gt_as_proposals:
+        proposals = jnp.concatenate([gt_b, proposals])
+        prop_mask = jnp.concatenate([gt_m, prop_mask])
+    res = max_iou_assign(proposals, gt_b, gt_l, gt_m,
+                         pos_iou_thr=cfg.pos_iou_thr,
+                         neg_iou_thr=cfg.neg_iou_thr,
+                         min_pos_iou=cfg.min_pos_iou,
+                         match_low_quality=False, valid_flags=prop_mask)
+    neg_mask = (~res.pos_mask) & (res.labels != -2) & prop_mask
+    sample = random_sample(rng, res.pos_mask & prop_mask, neg_mask,
+                           num=cfg.num_samples,
+                           pos_fraction=cfg.pos_fraction)
+    rois = proposals[sample.idx]
+    labels = jnp.where(sample.is_pos & sample.valid,
+                       res.labels[sample.idx], num_classes)
+    deltas = coder.encode(rois, gt_b[res.gt_idx[sample.idx]])
+    deltas = jnp.nan_to_num(deltas, nan=0.0, posinf=0.0, neginf=0.0)
+    return RoISamples(rois=rois, labels=labels.astype(jnp.int32),
+                      deltas=deltas, is_pos=sample.is_pos & sample.valid,
+                      valid=sample.valid)
+
+
+def rcnn_loss(cls_logits, reg_preds, samples: RoISamples, num_classes,
+              cfg: RCNNTrainConfig = RCNNTrainConfig()):
+    """cls (B*S, C+1); reg (B*S, 4C); samples batched (B, S, ...)."""
+    labels = samples.labels.reshape(-1)
+    valid = samples.valid.reshape(-1)
+    is_pos = samples.is_pos.reshape(-1)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+    n_pos = jnp.maximum(is_pos.sum(), 1.0)
+
+    ce = cross_entropy_int(cls_logits, labels)
+    loss_cls = cfg.cls_weight * (ce * valid).sum() / n_valid
+
+    # class-specific delta slice at the target label
+    r = reg_preds.reshape(reg_preds.shape[0], -1, 4)
+    safe = jnp.clip(labels, 0, r.shape[1] - 1)
+    reg_at_label = jnp.take_along_axis(
+        r, safe[:, None, None].repeat(4, axis=2), axis=1)[:, 0]
+    l1 = jnp.abs(reg_at_label - samples.deltas.reshape(-1, 4)).sum(-1)
+    loss_bbox = cfg.bbox_weight * (l1 * is_pos).sum() / n_pos
+
+    acc = ((cls_logits.argmax(-1) == labels) & valid).sum() / n_valid
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc
+
+
+def rcnn_predict_single(cls_logits, reg_preds, rois, roi_mask, img_shape,
+                        scale_factor, num_classes,
+                        coder: DeltaXYWHBBoxCoder,
+                        cfg: GFLTestConfig, rescale=True):
+    """Post-process one image's RoI head outputs into detections."""
+    scores = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]  # (R, C)
+    r = reg_preds.reshape(reg_preds.shape[0], num_classes, 4)
+    # decode every class column, then flatten (R*C) candidates
+    boxes = coder.decode(rois[:, None, :], r, max_shape=img_shape)  # (R,C,4)
+    flat_scores = scores.reshape(-1)
+    flat_boxes = boxes.reshape(-1, 4)
+    labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32),
+                      rois.shape[0])
+    valid = jnp.repeat(roi_mask, num_classes) & \
+        (flat_scores > cfg.score_thr)
+    k = min(cfg.pre_nms_total, flat_scores.shape[0])
+    top, idx = jax.lax.top_k(jnp.where(valid, flat_scores, -jnp.inf), k)
+    vmask = top > -jnp.inf
+    if rescale:
+        sel_boxes = scale_boxes(flat_boxes[idx], 1.0 / scale_factor)
+    else:
+        sel_boxes = flat_boxes[idx]
+    return nms_select(sel_boxes, jnp.where(vmask, top, 0.0), labels[idx],
+                      cfg.iou_threshold, cfg.max_per_img, valid_mask=vmask)
