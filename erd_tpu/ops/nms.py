@@ -45,13 +45,27 @@ def nms_mask(boxes, scores, iou_threshold, valid_mask=None):
     idx = jnp.arange(n)
     later = idx[None, :] > idx[:, None]  # j strictly after i in sorted order
     # suppress[i, j] = True if keeping i would remove j.
-    suppress = (iou > iou_threshold) & later & svalid[:, None]
+    suppress = ((iou > iou_threshold) & later &
+                svalid[:, None]).astype(jnp.float32)
 
-    def body(i, alive):
-        keep_i = alive[i]
-        return jnp.where(keep_i, alive & ~suppress[i], alive)
+    # Greedy NMS solves the triangular recursion
+    #     alive[j] = valid[j] and not any(suppress[i, j] and alive[i], i<j)
+    # Rather than N sequential scalar steps, iterate the recursion as a
+    # Jacobi fixpoint: each sweep is one (N,)x(N,N) product on the VPU/MXU,
+    # and after k sweeps every box whose suppression-chain depth is < k is
+    # final — real workloads converge in a handful of sweeps. Exactness:
+    # the loop runs until nothing changes (bounded by N).
+    def cond(state):
+        alive, prev, it = state
+        return jnp.logical_and(jnp.any(alive != prev), it < n)
 
-    alive = jax.lax.fori_loop(0, n, body, svalid)
+    def body(state):
+        alive, _, it = state
+        hit = (alive.astype(jnp.float32) @ suppress) > 0
+        return (svalid & ~hit, alive, it + 1)
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (svalid, jnp.zeros_like(svalid), 0))
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(alive)
     return keep
