@@ -1,10 +1,12 @@
 from .coco import COCO_CLASSES, COCOJson, CocoDataset, ImageRecord
+from .voc import VOC_CLASSES, VOCDataset
 from .loader import DetDataLoader, LoaderConfig
 from .transforms import (DetPipeline, bucket_shape, imread_rgb, rescale_size,
                          resize_image)
 
 __all__ = [
     'CocoDataset', 'COCOJson', 'COCO_CLASSES', 'ImageRecord', 'DetPipeline',
+    'VOCDataset', 'VOC_CLASSES',
     'DetDataLoader', 'LoaderConfig', 'bucket_shape', 'rescale_size',
     'resize_image', 'imread_rgb',
 ]

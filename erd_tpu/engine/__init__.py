@@ -1,6 +1,8 @@
 from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
 from .ema import MeanTeacherHook, ema_update, exp_momentum
-from .hooks import CheckInvalidLossHook, Hook, LoggerHook, MemoryReportHook
+from .hooks import (CheckInvalidLossHook, Hook, LoggerHook,
+                    MemoryReportHook, NumClassCheckHook,
+                    PipelineSwitchHook, SetEpochInfoHook)
 from .optim import resnet_frozen_paths, sgd_optimizer
 from .schedules import auto_scale_lr, warmup_multistep
 from .train_loop import Trainer, TrainerConfig, run_evaluation
@@ -11,4 +13,5 @@ __all__ = [
     'save_checkpoint', 'load_checkpoint', 'latest_checkpoint', 'Hook',
     'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',
     'MeanTeacherHook', 'ema_update', 'exp_momentum',
+    'NumClassCheckHook', 'PipelineSwitchHook', 'SetEpochInfoHook',
 ]

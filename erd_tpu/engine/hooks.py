@@ -82,6 +82,52 @@ class CheckInvalidLossHook(Hook):
                     f'non-finite loss at iter {step + 1}: {losses}')
 
 
+class NumClassCheckHook(Hook):
+    """Fail fast when the head's class count mismatches the dataset
+    (reference num_class_check_hook.py:10)."""
+
+    def __init__(self, dataset, expected_num_classes=None):
+        self.dataset = dataset
+        self.expected = expected_num_classes
+
+    def before_train(self, trainer):
+        model_classes = self.expected
+        if model_classes is None:
+            det = trainer.det
+            model_classes = det.num_classes
+            if hasattr(det, 'erd'):
+                model_classes = det.num_classes - det.erd.ori_num_classes
+        ds_classes = len(getattr(self.dataset, 'label_names', [])) or \
+            getattr(self.dataset, 'num_classes', 0)
+        if ds_classes and model_classes != ds_classes:
+            raise ValueError(
+                f'head expects {model_classes} trainable classes but the '
+                f'dataset provides {ds_classes} categories')
+
+
+class PipelineSwitchHook(Hook):
+    """Swap the loader's pipeline at a given epoch (reference
+    pipeline_switch_hook.py; YOLOX-style strong->weak aug switch)."""
+
+    def __init__(self, switch_epoch, new_pipeline):
+        self.switch_epoch = switch_epoch
+        self.new_pipeline = new_pipeline
+        self._done = False
+
+    def after_epoch(self, trainer, epoch):
+        if not self._done and epoch + 1 >= self.switch_epoch:
+            trainer.loader.pipeline = self.new_pipeline
+            self._done = True
+            log.info(f'switched train pipeline at epoch {epoch + 1}')
+
+
+class SetEpochInfoHook(Hook):
+    """Expose the current epoch on the trainer (set_epoch_info_hook.py)."""
+
+    def after_epoch(self, trainer, epoch):
+        trainer.epoch = epoch + 1
+
+
 class MemoryReportHook(Hook):
     """Log device memory stats every ``interval`` iters (when available)."""
 

@@ -1,8 +1,9 @@
 from .coco_eval import (AREA_RANGES, IOU_THRS, CocoMAPEvaluator,
                         DetectionResult, det_gt_iou)
 from .coco_metric import CocoMetric
+from .voc_metric import VOCMetric, average_precision
 
 __all__ = [
     'CocoMAPEvaluator', 'DetectionResult', 'CocoMetric', 'IOU_THRS',
-    'AREA_RANGES', 'det_gt_iou',
+    'AREA_RANGES', 'det_gt_iou', 'VOCMetric', 'average_precision',
 ]

@@ -2,6 +2,7 @@ from .backbones.resnet import ResNet
 from .detectors.atss import ATSSDetector
 from .detectors.fcos import FCOSDetector
 from .detectors.gfl_erd import ERDConfig, ERDDetector, ers_select
+from .detectors.faster_rcnn import FasterRCNNDetector
 from .detectors.ld import LDDetector
 from .detectors.retinanet import RetinaNetDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -14,7 +15,7 @@ from .preprocessor import Preprocessor
 __all__ = [
     'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
-    'FCOSDetector', 'ATSSDetector', 'LDDetector',
+    'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]
