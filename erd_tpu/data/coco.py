@@ -67,13 +67,16 @@ class ImageRecord:
     bboxes: np.ndarray    # (n, 4) xyxy float32
     labels: np.ndarray    # (n,) int32 contiguous dataset labels
     ignore: np.ndarray    # (n,) bool (iscrowd or invalid)
+    polygons: list = None  # optional per-instance segmentation polygons
 
 
 class CocoDataset:
     METAINFO = {'classes': COCO_CLASSES}
 
     def __init__(self, ann_file, img_prefix='', classes=None,
-                 filter_empty_gt=True, min_size=32, test_mode=False):
+                 filter_empty_gt=True, min_size=32, test_mode=False,
+                 with_mask=False):
+        self.with_mask = with_mask
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.classes = tuple(classes) if classes else self.METAINFO['classes']
@@ -90,7 +93,7 @@ class CocoDataset:
     def _load(self) -> List[ImageRecord]:
         out = []
         for img_id, img in self.coco.imgs.items():
-            bboxes, labels, ignore = [], [], []
+            bboxes, labels, ignore, polys = [], [], [], []
             for ann in self.coco.img_anns.get(img_id, []):
                 if ann.get('category_id') not in self.cat2label:
                     continue
@@ -106,13 +109,17 @@ class CocoDataset:
                 labels.append(self.cat2label[ann['category_id']])
                 ignore.append(bool(ann.get('iscrowd', 0)) or
                               bool(ann.get('ignore', 0)))
+                if self.with_mask:
+                    seg = ann.get('segmentation')
+                    polys.append(seg if isinstance(seg, list) else [])
             out.append(ImageRecord(
                 img_id=img_id,
                 path=os.path.join(self.img_prefix, img['file_name']),
                 width=img['width'], height=img['height'],
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int32),
-                ignore=np.asarray(ignore, bool)))
+                ignore=np.asarray(ignore, bool),
+                polygons=polys if self.with_mask else None))
         out.sort(key=lambda r: r.img_id)
         return out
 

@@ -76,6 +76,7 @@ class DetPipeline:
     divisor: int = 32
     training: bool = True
     ms_scales: Optional[Tuple[Tuple[int, int], ...]] = None
+    mask_res: int = 56  # box-normalized gt-mask crop resolution
 
     def __call__(self, record: ImageRecord,
                  rng: Optional[np.random.RandomState] = None,
@@ -106,8 +107,19 @@ class DetPipeline:
         canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[:new_h, :new_w] = img
 
+        mask_crops = None
+        if record.polygons is not None:
+            from .masks import polygons_to_boxmask
+            # box-normalized crops are scale-invariant: rasterize from the
+            # ORIGINAL polygons/boxes; a flip just mirrors the crop.
+            mask_crops = [
+                polygons_to_boxmask(p, record.bboxes[i], self.mask_res)
+                for i, p in enumerate(record.polygons[:self.max_gt])
+            ]
+            if flip:
+                mask_crops = [c[:, ::-1] for c in mask_crops]
         gt = GTInstances.pad(boxes, record.labels, self.max_gt,
-                             ignore=record.ignore)
+                             ignore=record.ignore, masks=mask_crops)
         meta = ImageMeta.make((new_h, new_w), (ori_h, ori_w), (sx, sy),
                               flip=flip, img_id=record.img_id)
         return canvas, gt, meta

@@ -65,6 +65,7 @@ class RoISamples:
     deltas: jnp.ndarray       # (S, 4) encoded targets (pos only meaningful)
     is_pos: jnp.ndarray       # (S,)
     valid: jnp.ndarray        # (S,)
+    gt_idx: jnp.ndarray       # (S,) assigned gt index (pos only meaningful)
 
 
 def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
@@ -90,7 +91,8 @@ def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
     deltas = jnp.nan_to_num(deltas, nan=0.0, posinf=0.0, neginf=0.0)
     return RoISamples(rois=rois, labels=labels.astype(jnp.int32),
                       deltas=deltas, is_pos=sample.is_pos & sample.valid,
-                      valid=sample.valid)
+                      valid=sample.valid,
+                      gt_idx=res.gt_idx[sample.idx])
 
 
 def rcnn_loss(cls_logits, reg_preds, samples: RoISamples, num_classes,

@@ -25,9 +25,11 @@ class GTInstances:
     bboxes: jnp.ndarray
     labels: jnp.ndarray
     mask: jnp.ndarray
+    # optional (MAX_GT, R, R) uint8 box-normalized instance-mask crops
+    masks: jnp.ndarray = None
 
     @staticmethod
-    def pad(bboxes, labels, max_gt, ignore=None):
+    def pad(bboxes, labels, max_gt, ignore=None, masks=None):
         """Host-side constructor from variable-length numpy arrays."""
         n = min(len(bboxes), max_gt)
         out_b = np.zeros((max_gt, 4), np.float32)
@@ -38,7 +40,14 @@ class GTInstances:
         out_m[:n] = True
         if ignore is not None:
             out_m[:n] &= ~np.asarray(ignore, bool)[:n]
-        return GTInstances(bboxes=out_b, labels=out_l, mask=out_m)
+        out_masks = None
+        if masks is not None:
+            r = masks[0].shape[0] if len(masks) else 56
+            out_masks = np.zeros((max_gt, r, r), np.uint8)
+            for i, mk in enumerate(masks[:max_gt]):
+                out_masks[i] = mk
+        return GTInstances(bboxes=out_b, labels=out_l, mask=out_m,
+                           masks=out_masks)
 
 
 @flax.struct.dataclass

@@ -1,0 +1,95 @@
+"""Mask R-CNN tests: mask rasterization/resampling + detector modes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from erd_tpu.data.masks import crop_resize_mask, polygons_to_boxmask
+from erd_tpu.structures import GTInstances, ImageMeta
+
+
+def test_polygons_to_boxmask():
+    # box (10,10,50,50); polygon covers its left half
+    poly = [np.asarray([10, 10, 30, 10, 30, 50, 10, 50], np.float32)]
+    m = polygons_to_boxmask(poly, (10, 10, 50, 50), mask_res=32)
+    assert m.shape == (32, 32)
+    assert m[:, :14].mean() > 0.9   # left half filled
+    assert m[:, 18:].mean() < 0.1   # right half empty
+
+
+def test_crop_resize_identity():
+    # roi == gt box -> resampled target ~ the crop itself
+    rs = np.random.RandomState(0)
+    crop = (rs.rand(56, 56) > 0.5).astype(np.float32)
+    box = jnp.asarray([10.0, 20.0, 90.0, 100.0])
+    out = np.asarray(crop_resize_mask(jnp.asarray(crop), box, box,
+                                      out_size=56))
+    # nearest-identity up to bilinear smoothing at boundaries
+    assert (np.round(out) == crop).mean() > 0.95
+
+
+def test_crop_resize_outside_is_zero():
+    crop = jnp.ones((56, 56), jnp.float32)
+    gt_box = jnp.asarray([10.0, 10.0, 50.0, 50.0])
+    roi = jnp.asarray([60.0, 60.0, 100.0, 100.0])  # disjoint
+    out = np.asarray(crop_resize_mask(crop, gt_box, roi, out_size=28))
+    assert out.max() == 0
+
+
+def make_mask_batch(b=2, h=64, w=96, max_gt=8):
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (b, h, w, 3), dtype=np.uint8)
+    gts, metas = [], []
+    for i in range(b):
+        boxes = np.asarray([[10.0, 10.0, 60.0, 50.0]], np.float32)
+        crop = np.zeros((56, 56), np.uint8)
+        crop[14:42, 14:42] = 1
+        gts.append(GTInstances.pad(boxes, np.asarray([i % 3], np.int32),
+                                   max_gt, masks=[crop]))
+        metas.append(ImageMeta.make((h, w), (h, w), (1.0, 1.0), img_id=i))
+    gt = jax.tree.map(lambda *xs: jnp.stack(xs), *gts)
+    meta = jax.tree.map(lambda *xs: jnp.stack(xs), *metas)
+    return dict(images=jnp.asarray(images), gt=gt, meta=meta)
+
+
+@pytest.fixture(scope='module')
+def mrcnn():
+    from erd_tpu.models.detectors.mask_rcnn import MaskRCNNDetector
+    det = MaskRCNNDetector(num_classes=3, depth=18)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    return det, variables
+
+
+def test_mask_rcnn_loss(mrcnn):
+    det, variables = mrcnn
+    losses = det.loss_jit(variables, make_mask_batch())
+    assert set(losses) == {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls',
+                           'loss_bbox', 'loss_mask'}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses['loss_mask']) > 0
+
+
+def test_mask_rcnn_grads_reach_mask_head(mrcnn):
+    det, variables = mrcnn
+    batch = make_mask_batch()
+    params = variables['params']
+    consts = {k: v for k, v in variables.items() if k != 'params'}
+
+    @jax.jit
+    def total(p):
+        return sum(det.loss({'params': p, **consts}, batch).values())
+
+    grads = jax.grad(total)(params)
+    g = sum(float(jnp.abs(x).sum())
+            for x in jax.tree.leaves(grads['mask_head']))
+    assert np.isfinite(g) and g > 0
+
+
+def test_mask_rcnn_predict(mrcnn):
+    det, variables = mrcnn
+    res, masks = det.predict_jit(variables, make_mask_batch())
+    assert res.bboxes.shape == (2, 100, 4)
+    assert masks.shape == (2, 100, 28, 28)
+    m = np.asarray(masks)
+    assert (m >= 0).all() and (m <= 1).all()
