@@ -16,7 +16,10 @@ from ..config import Config
 from ..data import CocoDataset, DetDataLoader, DetPipeline, LoaderConfig
 from ..engine import Trainer, TrainerConfig
 from ..evaluation import CocoMetric
-from ..models import ERDConfig, ERDDetector, GFLDetector
+from ..models import (ATSSDetector, ERDConfig, ERDDetector, FCOSDetector,
+                      FasterRCNNDetector, GFLDetector, LDDetector,
+                      RetinaNetDetector)
+from ..models.detectors.mask_rcnn import MaskRCNNDetector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -26,22 +29,30 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     mtype = model_cfg.get('type', 'GFL')
     test = model_cfg.get('test_cfg', {})
     train = model_cfg.get('train_cfg', {})
-    common = dict(
+    base = dict(
         num_classes=model_cfg.get('num_classes', 80),
         depth=model_cfg.get('depth', 50),
-        reg_max=model_cfg.get('reg_max', 16),
         compute_dtype=_DTYPES[model_cfg.get('compute_dtype', 'float32')],
+    )
+    test_cfg = GFLTestConfig(
+        score_thr=test.get('score_thr', 0.05),
+        nms_pre=test.get('nms_pre', 1000),
+        iou_threshold=test.get('nms_iou_threshold',
+                               0.6 if mtype in ('GFL', 'GFLIncrementERD',
+                                                'LD', 'ATSS') else 0.5),
+        max_per_img=test.get('max_per_img', 100),
+        min_bbox_size=test.get('min_bbox_size', 0.0),
+        pre_nms_total=test.get('pre_nms_total', 1000))
+    gfl_common = dict(
+        reg_max=model_cfg.get('reg_max', 16),
         train_cfg=GFLTrainConfig(
             assigner_topk=train.get('assigner_topk', 9)),
-        test_cfg=GFLTestConfig(
-            score_thr=test.get('score_thr', 0.05),
-            nms_pre=test.get('nms_pre', 1000),
-            iou_threshold=test.get('nms_iou_threshold', 0.6),
-            max_per_img=test.get('max_per_img', 100),
-            min_bbox_size=test.get('min_bbox_size', 0.0)),
-    )
+        test_cfg=test_cfg, **base)
     if mtype == 'GFL':
-        return GFLDetector(**common)
+        return GFLDetector(**gfl_common)
+    if mtype == 'LD':
+        return LDDetector(ld_weight=model_cfg.get('ld_weight', 0.25),
+                          ld_T=model_cfg.get('ld_T', 10.0), **gfl_common)
     if mtype == 'GFLIncrementERD':
         erd = model_cfg.get('erd', {})
         ori = model_cfg.get('ori_setting', {})
@@ -55,7 +66,17 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                 ers_cls_cap=erd.get('ers_cls_cap', 1000),
                 ers_reg_cap=erd.get('ers_reg_cap', 1000),
                 num_devices=num_devices),
-            **common)
+            **gfl_common)
+    if mtype == 'RetinaNet':
+        return RetinaNetDetector(test_cfg=test_cfg, **base)
+    if mtype == 'FCOS':
+        return FCOSDetector(test_cfg=test_cfg, **base)
+    if mtype == 'ATSS':
+        return ATSSDetector(test_cfg=test_cfg, **base)
+    if mtype == 'FasterRCNN':
+        return FasterRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'MaskRCNN':
+        return MaskRCNNDetector(test_cfg=test_cfg, **base)
     raise KeyError(f'unknown model type {mtype}')
 
 
@@ -67,7 +88,8 @@ def build_dataset(cfg: Config, loader_cfg: Config,
         img_prefix=os.path.join(data_root, ds_cfg.get('img_prefix', '')),
         filter_empty_gt=ds_cfg.get('filter_empty_gt', True),
         min_size=ds_cfg.get('min_size', 32),
-        test_mode=test_mode)
+        test_mode=test_mode,
+        with_mask=ds_cfg.get('with_mask', False))
 
 
 def build_loader(dataset, loader_cfg: Config, training=True,

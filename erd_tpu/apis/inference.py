@@ -25,10 +25,20 @@ def load_weights(detector, variables, checkpoint: str):
     """Load an orbax checkpoint dir (ours) or a torch .pth (reference)."""
     if os.path.isdir(checkpoint):
         from ..engine.checkpoints import load_checkpoint
-        state = load_checkpoint(checkpoint,
-                                dict(params=variables['params']))
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        target = dict(params=variables['params'])
+        if consts:
+            target['consts'] = consts
+        try:
+            state = load_checkpoint(checkpoint, target)
+        except Exception:
+            # older checkpoints carried params only
+            state = load_checkpoint(checkpoint,
+                                    dict(params=variables['params']))
         out = dict(variables)
         out['params'] = state['params']
+        for k, v in state.get('consts', {}).items():
+            out[k] = v
         return out
     from ..models.weight_import import load_torch_checkpoint_file
     out, _ = load_torch_checkpoint_file(variables, checkpoint)

@@ -115,9 +115,10 @@ class Trainer:
             path = latest_checkpoint(self.cfg.ckpt_dir)
             if path:
                 state = load_checkpoint(path, dict(
-                    params=params, opt_state=opt_state,
+                    params=params, consts=consts, opt_state=opt_state,
                     step=np.asarray(0)))
                 params, opt_state = state['params'], state['opt_state']
+                consts = state.get('consts', consts)
                 step = int(state['step'])
                 start_epoch = step // self.steps_per_epoch
                 log.info(f'resumed from {path} at step {step}')
@@ -140,8 +141,11 @@ class Trainer:
                 h.after_epoch(self, epoch)
             if self.cfg.ckpt_dir and \
                     (epoch + 1) % self.cfg.ckpt_interval_epochs == 0:
+                # consts (e.g. frozen batch_stats from a pretrained
+                # backbone) must ride along or a restored model would fall
+                # back to init statistics.
                 save_checkpoint(self.cfg.ckpt_dir, step, dict(
-                    params=params, opt_state=opt_state,
+                    params=params, consts=consts, opt_state=opt_state,
                     step=np.asarray(step)))
             if self.val_fn and (epoch + 1) % self.cfg.val_interval == 0:
                 metrics = self.val_fn({'params': params, **consts})
