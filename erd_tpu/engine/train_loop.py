@@ -78,20 +78,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _step_impl(self, params, opt_state, consts, batch, teacher):
+        stateful = hasattr(self.det, 'loss_and_state')
+
         def loss_fn(p):
             variables = {'params': p, **consts}
-            if teacher is not None:
-                losses = self.det.loss(variables, batch,
-                                       teacher_variables=teacher)
+            if stateful:
+                # detectors with train-time mutable state (e.g. BatchNorm
+                # running stats) return updated consts alongside losses
+                losses, new_consts = self.det.loss_and_state(
+                    variables, batch, teacher_variables=teacher) \
+                    if teacher is not None else \
+                    self.det.loss_and_state(variables, batch)
             else:
-                losses = self.det.loss(variables, batch)
-            return sum(jax.tree.leaves(losses)), losses
+                losses = self.det.loss(variables, batch,
+                                       teacher_variables=teacher) \
+                    if teacher is not None else \
+                    self.det.loss(variables, batch)
+                new_consts = consts
+            return sum(jax.tree.leaves(losses)), (losses, new_consts)
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
+        (_, (losses, new_consts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, losses
+        return params, opt_state, losses, new_consts
 
     def current_lr(self, step):
         return float(self.schedule(step))
@@ -130,7 +140,7 @@ class Trainer:
             log.info(f'epoch {epoch + 1}/{self.cfg.epochs}')
             for batch in self.loader.epoch(epoch):
                 batch = shard_batch(batch, self.mesh)
-                params, opt_state, losses = self._train_step(
+                params, opt_state, losses, consts = self._train_step(
                     params, opt_state, consts, batch, teacher)
                 self.latest_params = params  # hooks (e.g. EMA) read this
                 host_losses = {k: float(v) for k, v in losses.items()}
