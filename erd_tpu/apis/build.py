@@ -20,6 +20,7 @@ from ..models import (ATSSDetector, ERDConfig, ERDDetector, FCOSDetector,
                       FasterRCNNDetector, GFLDetector, LDDetector,
                       RetinaNetDetector)
 from ..models.detectors.mask_rcnn import MaskRCNNDetector
+from ..models.detectors.yolov3 import YOLOV3Detector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -77,6 +78,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'YOLOV3':
+        base.pop('depth')
+        return YOLOV3Detector(test_cfg=test_cfg, **base)
     raise KeyError(f'unknown model type {mtype}')
 
 
