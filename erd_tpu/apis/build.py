@@ -21,6 +21,7 @@ from ..models import (ATSSDetector, ERDConfig, ERDDetector, FCOSDetector,
                       RetinaNetDetector)
 from ..models.detectors.mask_rcnn import MaskRCNNDetector
 from ..models.detectors.yolov3 import YOLOV3Detector
+from ..models.detectors.detr import DETRDetector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -81,6 +82,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'YOLOV3':
         base.pop('depth')
         return YOLOV3Detector(test_cfg=test_cfg, **base)
+    if mtype == 'DETR':
+        return DETRDetector(
+            num_queries=model_cfg.get('num_queries', 100),
+            max_per_img=test.get('max_per_img', 100), **base)
     raise KeyError(f'unknown model type {mtype}')
 
 
