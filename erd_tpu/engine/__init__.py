@@ -3,12 +3,13 @@ from .ema import MeanTeacherHook, ema_update, exp_momentum
 from .hooks import (CheckInvalidLossHook, Hook, LoggerHook,
                     MemoryReportHook, NumClassCheckHook,
                     PipelineSwitchHook, SetEpochInfoHook)
-from .optim import resnet_frozen_paths, sgd_optimizer
+from .optim import adamw_optimizer, resnet_frozen_paths, sgd_optimizer
 from .schedules import auto_scale_lr, warmup_multistep
 from .train_loop import Trainer, TrainerConfig, run_evaluation
 
 __all__ = [
     'Trainer', 'TrainerConfig', 'run_evaluation', 'sgd_optimizer',
+    'adamw_optimizer',
     'resnet_frozen_paths', 'warmup_multistep', 'auto_scale_lr',
     'save_checkpoint', 'load_checkpoint', 'latest_checkpoint', 'Hook',
     'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',

@@ -44,8 +44,14 @@ def _freeze_label_fn(frozen_stages: int) -> Callable:
 
 def sgd_optimizer(schedule, momentum: float = 0.9,
                   weight_decay: float = 1e-4, frozen_stages: int = 1,
-                  grad_clip: Optional[float] = None):
-    """torch-order SGD: g += wd*w; buf = mu*buf + g; w -= lr*buf."""
+                  grad_clip: Optional[float] = None,
+                  accumulate_steps: int = 1):
+    """torch-order SGD: g += wd*w; buf = mu*buf + g; w -= lr*buf.
+
+    ``accumulate_steps > 1`` wraps the chain in optax.MultiSteps — the
+    GradientCumulativeOptimWrapper analogue for fitting large effective
+    batches on one chip.
+    """
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -59,4 +65,50 @@ def sgd_optimizer(schedule, momentum: float = 0.9,
         tx = optax.multi_transform(
             {'train': tx, 'frozen': optax.set_to_zero()},
             _freeze_label_fn(frozen_stages))
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def adamw_optimizer(schedule, betas=(0.9, 0.999), weight_decay: float = 1e-4,
+                    frozen_stages: int = -1,
+                    grad_clip: Optional[float] = None,
+                    backbone_lr_mult: float = 1.0):
+    """AdamW (the DETR-family recipe; optionally a reduced backbone LR
+    via a label-routed scale, mirroring paramwise lr_mult configs)."""
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain += [
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(schedule),
+    ]
+    tx = optax.chain(*chain)
+    labels_needed = frozen_stages >= 0 or backbone_lr_mult != 1.0
+
+    if labels_needed:
+        frozen_prefixes = resnet_frozen_paths(max(frozen_stages, -1)) \
+            if frozen_stages >= 0 else ()
+
+        def label(params):
+            def walk(tree, path):
+                if isinstance(tree, dict):
+                    return {k: walk(v, path + (k,)) for k, v in
+                            tree.items()}
+                if len(path) >= 2 and path[0] == 'backbone' and any(
+                        path[1].startswith(p) for p in frozen_prefixes):
+                    return 'frozen'
+                if path and path[0] == 'backbone' and \
+                        backbone_lr_mult != 1.0:
+                    return 'backbone'
+                return 'train'
+
+            return walk(params, ())
+
+        tx = optax.multi_transform(
+            {'train': tx,
+             'backbone': optax.chain(tx, optax.scale(backbone_lr_mult))
+             if backbone_lr_mult != 1.0 else tx,
+             'frozen': optax.set_to_zero()}, label)
     return tx

@@ -127,3 +127,44 @@ def test_trainer_e2e_8dev_mesh():
     # same data every step; loss should drop
     assert seen[-1] < seen[0]
     assert 'params' in out
+
+
+def test_adamw_matches_torch():
+    rs = np.random.RandomState(1)
+    w0 = rs.randn(4, 3).astype(np.float32)
+    from erd_tpu.engine import adamw_optimizer
+    tx = adamw_optimizer(lambda c: 0.01, weight_decay=0.05)
+    params = {'w': jnp.asarray(w0)}
+    state = tx.init(params)
+    tw = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=0.01, weight_decay=0.05)
+    for i in range(5):
+        g = rs.randn(4, 3).astype(np.float32)
+        upd, state = tx.update({'w': jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        topt.zero_grad()
+        tw.grad = torch.as_tensor(g.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params['w']),
+                               tw.detach().numpy(), rtol=1e-3, atol=1e-5)
+
+
+def test_grad_accumulation():
+    from erd_tpu.engine import sgd_optimizer
+    tx1 = sgd_optimizer(lambda c: 0.1, momentum=0.0, weight_decay=0.0,
+                        frozen_stages=-1)
+    tx2 = sgd_optimizer(lambda c: 0.1, momentum=0.0, weight_decay=0.0,
+                        frozen_stages=-1, accumulate_steps=2)
+    p = {'w': jnp.ones((3,))}
+    s1 = tx1.init(p)
+    s2 = tx2.init(p)
+    g1 = {'w': jnp.asarray([1.0, 2.0, 3.0])}
+    g2 = {'w': jnp.asarray([3.0, 2.0, 1.0])}
+    # accumulated: nothing on first micro-step, mean grad applied on second
+    u, s2 = tx2.update(g1, s2, p)
+    assert float(jnp.abs(u['w']).sum()) == 0
+    u, s2 = tx2.update(g2, s2, p)
+    mean_g = {'w': (g1['w'] + g2['w']) / 2}
+    want, _ = tx1.update(mean_g, s1, p)
+    np.testing.assert_allclose(np.asarray(u['w']), np.asarray(want['w']),
+                               rtol=1e-6)
