@@ -28,18 +28,27 @@ from ..preprocessor import Preprocessor
 
 
 class GFLNet(nn.Module):
-    """backbone -> neck -> dense head, NHWC."""
+    """backbone -> neck -> dense head, NHWC.
+
+    ``remat=True`` checkpoints the backbone and head towers
+    (jax.checkpoint): activations are recomputed in the backward pass,
+    trading ~1/3 extra FLOPs for several GB of peak memory — useful for the
+    fused teacher+student ERD step at large batch/resolution.
+    """
     num_classes: int
     depth: int = 50
     neck_out: int = 256
     stacked_convs: int = 4
     reg_max: int = 16
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, return_feats: bool = False):
-        feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
-                       name='backbone')(images)
+        backbone_cls = nn.remat(ResNet) if self.remat else ResNet
+        feats = backbone_cls(depth=self.depth,
+                             compute_dtype=self.compute_dtype,
+                             name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
                     start_level=1, add_extra_convs='on_output', num_outs=5,
@@ -48,11 +57,12 @@ class GFLNet(nn.Module):
             # extract_feat mode (single_stage.py:136-149): FPN pyramid only,
             # used by the replay/exemplar scoring helpers.
             return feats
-        return GFLHeadNet(num_classes=self.num_classes,
-                          in_channels=self.neck_out,
-                          feat_channels=self.neck_out,
-                          stacked_convs=self.stacked_convs,
-                          reg_max=self.reg_max, name='bbox_head')(feats)
+        head_cls = nn.remat(GFLHeadNet) if self.remat else GFLHeadNet
+        return head_cls(num_classes=self.num_classes,
+                        in_channels=self.neck_out,
+                        feat_channels=self.neck_out,
+                        stacked_convs=self.stacked_convs,
+                        reg_max=self.reg_max, name='bbox_head')(feats)
 
 
 @dataclass
@@ -62,6 +72,7 @@ class GFLDetector:
     depth: int = 50
     reg_max: int = 16
     compute_dtype: Any = jnp.float32
+    remat: bool = False
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
@@ -70,7 +81,8 @@ class GFLDetector:
     def __post_init__(self):
         self.net = GFLNet(num_classes=self.num_classes, depth=self.depth,
                           reg_max=self.reg_max,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          remat=self.remat)
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         if self.preprocessor.compute_dtype != self.compute_dtype:
             self.preprocessor = replace(self.preprocessor,
