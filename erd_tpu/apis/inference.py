@@ -24,21 +24,21 @@ from .build import build_detector
 def load_weights(detector, variables, checkpoint: str):
     """Load an orbax checkpoint dir (ours) or a torch .pth (reference)."""
     if os.path.isdir(checkpoint):
-        from ..engine.checkpoints import load_checkpoint
-        consts = {k: v for k, v in variables.items() if k != 'params'}
-        target = dict(params=variables['params'])
-        if consts:
-            target['consts'] = consts
-        try:
-            state = load_checkpoint(checkpoint, target)
-        except Exception:
-            # older checkpoints carried params only
-            state = load_checkpoint(checkpoint,
-                                    dict(params=variables['params']))
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine.checkpoints import load_checkpoint_raw
+        state = load_checkpoint_raw(checkpoint)
         out = dict(variables)
-        out['params'] = state['params']
-        for k, v in state.get('consts', {}).items():
-            out[k] = v
+
+        def _cast_like(saved, ref):
+            return jax.tree.map(
+                lambda s, r: jnp.asarray(s, r.dtype), saved, ref)
+
+        out['params'] = _cast_like(state['params'], variables['params'])
+        for k, v in (state.get('consts') or {}).items():
+            out[k] = _cast_like(v, variables[k]) if k in variables else \
+                jax.tree.map(jnp.asarray, v)
         return out
     from ..models.weight_import import load_torch_checkpoint_file
     out, _ = load_torch_checkpoint_file(variables, checkpoint)

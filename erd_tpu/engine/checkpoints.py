@@ -39,3 +39,12 @@ def load_checkpoint(path: str, target: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
     return ckptr.restore(path, abstract)
+
+
+def load_checkpoint_raw(path: str) -> Any:
+    """Restore the FULL saved tree without a target structure (numpy leaves).
+
+    Used by weights-only loading (tools/test.py, stage chaining), where the
+    caller doesn't know the optimizer-state structure stored alongside."""
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(path)
