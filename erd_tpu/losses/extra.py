@@ -103,6 +103,41 @@ def gaussian_focal_loss(pred, gaussian_target, weight=None, alpha=2.0,
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 
+def seesaw_loss(pred, target, cum_samples, weight=None, p=0.8, q=2.0,
+                eps=1e-2, reduction='mean', avg_factor=None):
+    """Seesaw loss (long-tail instance seg; seesaw_loss.py semantics).
+
+    Args:
+        pred: (N, C) logits (no explicit background column here).
+        target: (N,) int labels in [0, C).
+        cum_samples: (C,) per-class cumulative sample counts (state kept by
+            the caller — a pure-function framework keeps the counter in the
+            train state rather than a module buffer).
+    """
+    import jax
+    num_classes = pred.shape[-1]
+    onehot = jax.nn.one_hot(target, num_classes, dtype=pred.dtype)
+
+    # mitigation factor: dampen negative gradients for rarer classes
+    ratio = cum_samples[None, :] / jnp.clip(cum_samples[:, None], 1, None)
+    sample_w = jnp.where(ratio < 1.0, jnp.power(ratio, p), 1.0)  # (C, C)
+    mit = sample_w[target]  # (N, C)
+
+    # compensation factor: boost for misclassified high-scoring negatives
+    scores = jax.nn.softmax(pred, axis=-1)
+    self_scores = jnp.take_along_axis(scores, target[:, None], axis=1)
+    score_ratio = scores / jnp.clip(self_scores, 1e-12, None)
+    comp = jnp.where(score_ratio > 1.0, jnp.power(score_ratio, q), 1.0)
+
+    seesaw = mit * comp
+    seesaw = jnp.where(onehot > 0, 1.0, seesaw)
+    shifted = pred + jnp.log(jnp.clip(seesaw, eps, None)) * (1 - onehot)
+    lse = jax.scipy.special.logsumexp(shifted, axis=-1)
+    picked = jnp.take_along_axis(shifted, target[:, None], axis=1)[:, 0]
+    loss = lse - picked
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
 def dice_loss(pred, target, weight=None, eps=1e-3, naive=False,
               activate=True, reduction='mean', avg_factor=None):
     """Dice loss over flattened masks (N, ...)."""

@@ -109,3 +109,39 @@ def test_ema():
     m0 = float(exp_momentum(2e-4, 0, gamma=2000))
     m_inf = float(exp_momentum(2e-4, 10**7, gamma=2000))
     assert m0 > 0.9 and abs(m_inf - 2e-4) < 1e-6
+
+
+def test_swin_tiny_forward():
+    from erd_tpu.models.backbones.swin import SwinTransformer
+    net = SwinTransformer(arch='tiny', window_size=7)
+    x = jnp.zeros((1, 224, 224, 3))
+    vars_ = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    outs = jax.jit(net.apply)(vars_, x)
+    assert [o.shape[-1] for o in outs] == [96, 192, 384, 768]
+    assert outs[0].shape[1:3] == (56, 56)
+    assert outs[3].shape[1:3] == (7, 7)
+    n_params = sum(p.size for p in jax.tree.leaves(vars_['params']))
+    assert 25e6 < n_params < 32e6  # Swin-T ~28M
+
+
+def test_swin_window_roundtrip():
+    from erd_tpu.models.backbones.swin import (window_partition,
+                                               window_reverse)
+    x = jnp.arange(2 * 14 * 14 * 3, dtype=jnp.float32).reshape(2, 14, 14, 3)
+    back = window_reverse(window_partition(x, 7), 7, 14, 14)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_seesaw_loss_basic(rng):
+    from erd_tpu.losses import seesaw_loss
+    pred = jnp.asarray(rng.randn(16, 5).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, 5, 16))
+    cum = jnp.asarray([1000.0, 100.0, 10.0, 1.0, 500.0])
+    loss = float(seesaw_loss(pred, target, cum))
+    assert np.isfinite(loss) and loss > 0
+    # balanced counts reduce to plain CE
+    cum_eq = jnp.full((5,), 100.0)
+    from erd_tpu.losses import cross_entropy_loss
+    l1 = float(seesaw_loss(pred, target, cum_eq, q=0.0))
+    l2 = float(cross_entropy_loss(pred, target))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
