@@ -22,6 +22,7 @@ from ..models import (ATSSDetector, ERDConfig, ERDDetector, FCOSDetector,
 from ..models.detectors.mask_rcnn import MaskRCNNDetector
 from ..models.detectors.yolov3 import YOLOV3Detector
 from ..models.detectors.detr import DETRDetector
+from ..models.detectors.ssd import SSDDetector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -82,6 +83,11 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'YOLOV3':
         base.pop('depth')
         return YOLOV3Detector(test_cfg=test_cfg, **base)
+    if mtype == 'SSD':
+        base.pop('depth')
+        return SSDDetector(
+            input_size=model_cfg.get('input_size', 300),
+            test_cfg=test_cfg, **base)
     if mtype == 'DETR':
         return DETRDetector(
             num_queries=model_cfg.get('num_queries', 100),

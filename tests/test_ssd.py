@@ -1,0 +1,84 @@
+"""SSD300 tests: anchor scheme, hard-negative mining, detector modes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from erd_tpu.models.detectors.ssd import SSDDetector
+from erd_tpu.models.heads.ssd_head import (SSDAnchorContext, ssd300_sizes)
+from tests.test_models import make_batch
+
+
+def test_ssd300_sizes():
+    sizes = ssd300_sizes(300, (0.15, 0.9))
+    assert len(sizes) == 6
+    mins = [s[0] for s in sizes]
+    # first level is the special small scale, then 45..261 step 54
+    assert mins[0] == 21
+    np.testing.assert_allclose(mins[1:], [45, 99, 153, 207, 261])
+    # max of level i == min of level i+1
+    for i in range(len(sizes) - 1):
+        assert sizes[i][1] == pytest.approx(sizes[i + 1][0])
+
+
+def test_ssd_anchor_context():
+    ctx = SSDAnchorContext.build((300, 300))
+    assert ctx.anchors_per_cell == (4, 6, 6, 6, 4, 4)
+    assert ctx.featmap_sizes[0] == (38, 38)
+    assert ctx.featmap_sizes[-1] == (1, 1)
+    assert ctx.anchors.shape[0] == sum(
+        h * w * a for (h, w), a in zip(ctx.featmap_sizes,
+                                      ctx.anchors_per_cell))
+    # 8732 anchors for the canonical 300 input
+    assert ctx.anchors.shape[0] == 8732
+
+
+@pytest.fixture(scope='module')
+def ssd():
+    det = SSDDetector(num_classes=4)
+    variables = det.init(jax.random.PRNGKey(0))
+    return det, variables
+
+
+def test_ssd_backbone_level_shapes(ssd):
+    det, variables = ssd
+    imgs = jnp.zeros((1, 300, 300, 3), jnp.uint8)
+    cls_lvl, reg_lvl = det.forward_jit(variables, imgs)
+    hw = [tuple(m.shape[1:3]) for m in cls_lvl]
+    assert hw == [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+
+
+def test_ssd_loss_and_mining(ssd):
+    det, variables = ssd
+    gts = [([[30, 30, 120, 120]], [1]), ([[50, 50, 200, 220]], [2])]
+    batch = make_batch(b=2, h=300, w=300, gts=gts)
+    losses = det.loss_jit(variables, batch)
+    assert set(losses) == {'loss_cls', 'loss_bbox'}
+    for v in losses.values():
+        assert np.isfinite(float(v)) and float(v) > 0
+
+
+def test_ssd_grads(ssd):
+    det, variables = ssd
+    batch = make_batch(b=2, h=300, w=300,
+                       gts=[([[30, 30, 120, 120]], [1]), ([], [])])
+    params = variables['params']
+
+    @jax.jit
+    def total(p):
+        return sum(det.loss({'params': p}, batch).values())
+
+    grads = jax.grad(total)(params)
+    g = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
+    assert np.isfinite(g) and g > 0
+    # L2Norm scale learns too
+    assert float(jnp.abs(
+        grads['backbone']['l2_norm']['scale']).sum()) > 0
+
+
+def test_ssd_predict(ssd):
+    det, variables = ssd
+    batch = make_batch(b=2, h=300, w=300)
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape == (2, 200, 4)
+    assert res.mask.dtype == bool
