@@ -1,4 +1,5 @@
 from .coco import COCO_CLASSES, COCOJson, CocoDataset, ImageRecord
+from .lvis import LVISDataset
 from .voc import VOC_CLASSES, VOCDataset
 from .loader import DetDataLoader, LoaderConfig
 from .transforms import (DetPipeline, bucket_shape, imread_rgb, rescale_size,
@@ -6,7 +7,7 @@ from .transforms import (DetPipeline, bucket_shape, imread_rgb, rescale_size,
 
 __all__ = [
     'CocoDataset', 'COCOJson', 'COCO_CLASSES', 'ImageRecord', 'DetPipeline',
-    'VOCDataset', 'VOC_CLASSES',
+    'VOCDataset', 'VOC_CLASSES', 'LVISDataset',
     'DetDataLoader', 'LoaderConfig', 'bucket_shape', 'rescale_size',
     'resize_image', 'imread_rgb',
 ]

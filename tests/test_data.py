@@ -147,3 +147,31 @@ def test_loader_batching(tmp_path):
     batches2 = list(loader.epoch(0))
     np.testing.assert_array_equal(batches[0]['images'],
                                   batches2[0]['images'])
+
+
+def test_lvis_dataset(tmp_path):
+    import json as _json
+    from erd_tpu.data import LVISDataset
+    d = {
+        'images': [{'id': 1, 'width': 640, 'height': 480,
+                    'coco_url': 'http://images.cocodataset.org/'
+                                'val2017/000000000139.jpg',
+                    'neg_category_ids': [3],
+                    'not_exhaustive_category_ids': []}],
+        'annotations': [
+            {'id': 1, 'image_id': 1, 'category_id': 7,
+             'bbox': [10, 10, 50, 50], 'area': 2500},
+            {'id': 2, 'image_id': 1, 'category_id': 2,
+             'bbox': [100, 100, 40, 40], 'area': 1600}],
+        'categories': [{'id': 2, 'name': 'aerosol_can'},
+                       {'id': 3, 'name': 'air_conditioner'},
+                       {'id': 7, 'name': 'airplane'}],
+    }
+    p = tmp_path / 'lvis.json'
+    p.write_text(_json.dumps(d))
+    ds = LVISDataset(str(p), img_prefix='/data')
+    assert ds.num_classes == 3
+    r = ds[0]
+    assert r.path == '/data/val2017/000000000139.jpg'
+    # labels contiguous in category-id order: cat 2 -> 0, cat 7 -> 2
+    assert sorted(r.labels.tolist()) == [0, 2]
