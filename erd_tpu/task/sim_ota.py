@@ -1,0 +1,85 @@
+"""SimOTA assigner (YOLOX/RTMDet family), static-shape.
+
+Behavioural mirror of /root/reference/mmdet/models/task_modules/assigners/
+sim_ota_assigner.py: candidates are priors whose center lies in a gt box or
+its center region; cost = cls BCE-focal-ish cost + lambda * (-log IoU) +
+out-of-candidate penalty; per-gt dynamic-k = sum of top-10 IoUs (>=1);
+each gt takes its top-k lowest-cost candidates; conflicts resolve to the
+lowest-cost gt. All dynamic counts become masks; the per-gt top-k is a
+static top-k with rank < dynamic_k masking.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import bbox_overlaps
+from .atss import AssignResult
+
+INF = 1e8
+
+
+def sim_ota_assign(priors_xy, strides, decoded_boxes, cls_scores, gt_bboxes,
+                   gt_labels, gt_mask, center_radius=2.5, candidate_topk=10,
+                   iou_weight=3.0, cls_weight=1.0):
+    """One image.
+
+    Args:
+        priors_xy: (N, 2) prior centers.
+        strides: (N,) prior strides.
+        decoded_boxes: (N, 4) predicted boxes (xyxy).
+        cls_scores: (N, C) predicted class PROBABILITIES (post-sigmoid).
+        gt_bboxes/gt_labels/gt_mask: padded gt.
+    """
+    n = priors_xy.shape[0]
+    g = gt_bboxes.shape[0]
+
+    # candidate mask: center in gt box OR in the center_radius*stride region
+    x, y = priors_xy[:, 0:1], priors_xy[:, 1:2]
+    in_box = (x >= gt_bboxes[None, :, 0]) & (x <= gt_bboxes[None, :, 2]) & \
+             (y >= gt_bboxes[None, :, 1]) & (y <= gt_bboxes[None, :, 3])
+    in_box = in_box[:, 0] if in_box.ndim == 3 else in_box
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+    r = center_radius * strides[:, None]
+    in_center = (x >= cx[None, :] - r) & (x <= cx[None, :] + r) & \
+                (y >= cy[None, :] - r) & (y <= cy[None, :] + r)
+    in_center = in_center[:, 0] if in_center.ndim == 3 else in_center
+    valid = (in_box | in_center) & gt_mask[None, :]
+    in_both = in_box & in_center
+
+    ious = bbox_overlaps(decoded_boxes, gt_bboxes)  # (N, G)
+    iou_cost = -jnp.log(jnp.clip(ious, 1e-8, None))
+    onehot_scores = jnp.take_along_axis(
+        jnp.pad(cls_scores, ((0, 0), (0, 1))),
+        jnp.clip(gt_labels, 0, cls_scores.shape[1])[None, :].repeat(n, 0),
+        axis=1)  # (N, G) prob of the gt class
+    cls_cost = -jnp.log(jnp.clip(onehot_scores, 1e-8, None))
+    cost = cls_weight * cls_cost + iou_weight * iou_cost + \
+        jnp.where(in_both, 0.0, 100000.0)
+    cost = jnp.where(valid, cost, INF)
+
+    # dynamic k per gt: sum of top-10 candidate IoUs, clamped >= 1
+    k = min(candidate_topk, n)
+    topk_ious, _ = jax.lax.top_k(jnp.where(valid, ious, 0.0).T, k)  # (G, k)
+    dynamic_k = jnp.clip(topk_ious.sum(axis=1).astype(jnp.int32), 1, None)
+
+    # per-gt: mark the dynamic_k lowest-cost candidates
+    order = jnp.argsort(cost.T, axis=1)  # (G, N) ascending cost
+    ranks = jnp.zeros((g, n), jnp.int32)
+    ranks = jax.vmap(lambda o: jnp.zeros((n,), jnp.int32).at[o].set(
+        jnp.arange(n, dtype=jnp.int32)))(order)
+    chosen = (ranks < dynamic_k[:, None]).T & valid  # (N, G)
+
+    # conflict resolution: a prior assigned to multiple gts keeps the
+    # lowest-cost one
+    cost_sel = jnp.where(chosen, cost, INF)
+    best_cost = cost_sel.min(axis=1)
+    gt_idx = cost_sel.argmin(axis=1).astype(jnp.int32)
+    pos_mask = best_cost < INF
+
+    labels = jnp.where(pos_mask, gt_labels[gt_idx], -1).astype(jnp.int32)
+    max_overlaps = jnp.where(pos_mask,
+                             ious[jnp.arange(n), gt_idx], -INF)
+    return AssignResult(pos_mask=pos_mask, gt_idx=gt_idx,
+                        max_overlaps=max_overlaps, labels=labels)

@@ -130,3 +130,41 @@ def test_anchor_generator_values():
     assert grid.shape == (6, 4)
     # second cell of first row shifted by stride (level 0 -> stride 8)
     np.testing.assert_allclose(grid[1] - grid[0], [8, 0, 8, 0])
+
+
+def test_sim_ota_basic(rng):
+    """SimOTA: priors inside a gt's center region with good predictions get
+    assigned; dynamic-k respected."""
+    import jax
+    from erd_tpu.task import sim_ota_assign
+
+    n, g, c = 200, 3, 5
+    pts = rand_boxes(rng, n, w=200, h=200)[:, :2]
+    strides = np.full(n, 8.0, np.float32)
+    gts = np.asarray([[20, 20, 80, 80], [100, 100, 180, 160],
+                      [0, 0, 0, 0]], np.float32)
+    mask = np.asarray([True, True, False])
+    labels = np.asarray([1, 3, 0], np.int32)
+    # predicted boxes: perfect for priors whose center is inside a gt
+    decoded = np.tile(pts, (1, 2)).astype(np.float32)
+    for i in range(n):
+        for j in range(2):
+            if (gts[j, 0] <= pts[i, 0] <= gts[j, 2] and
+                    gts[j, 1] <= pts[i, 1] <= gts[j, 3]):
+                decoded[i] = gts[j]
+    scores = np.full((n, c), 0.5, np.float32)
+
+    res = jax.jit(lambda *a: sim_ota_assign(*a))(
+        jnp.asarray(pts), jnp.asarray(strides), jnp.asarray(decoded),
+        jnp.asarray(scores), jnp.asarray(gts), jnp.asarray(labels),
+        jnp.asarray(mask))
+    pos = np.asarray(res.pos_mask)
+    gi = np.asarray(res.gt_idx)
+    assert pos.sum() > 0
+    assert set(gi[pos].tolist()) <= {0, 1}  # never the padded gt
+    lab = np.asarray(res.labels)
+    assert set(lab[pos].tolist()) <= {1, 3}
+    # every positive prior center lies inside its assigned gt box
+    for i in np.where(pos)[0]:
+        b = gts[gi[i]]
+        assert b[0] <= pts[i, 0] <= b[2] and b[1] <= pts[i, 1] <= b[3]
