@@ -73,6 +73,20 @@ def ers_select(cls_scores, bbox_preds, cls_cap, reg_cap):
     return cls_idx, cls_mask, reg_idx, reg_mask
 
 
+def ers_cls_mask_dense(cls_scores):
+    """Dense ERS cls-branch mask: score > mean + 2*sample-std, no cap.
+
+    (N, C) teacher logits -> (N,) bool. Exact sel_pos_single cls semantics
+    (gfl_increment_erd.py:146-151) — the dense form needs no top-k cap AND
+    keeps the distillation backward purely elementwise (a gathered form
+    turns into a serial scatter loop on TPU; see docs/ROUND1.md perf notes).
+    """
+    max_scores = jax.nn.sigmoid(cls_scores).max(axis=-1)
+    mean, std = masked_mean_std(max_scores,
+                                jnp.ones(max_scores.shape, bool))
+    return max_scores > mean + 2 * std
+
+
 @dataclass
 class ERDDetector(GFLDetector):
     """Student detector + frozen teacher co-execution."""
@@ -115,10 +129,17 @@ class ERDDetector(GFLDetector):
         t_cls = jax.lax.stop_gradient(t_cls)
         t_reg = jax.lax.stop_gradient(t_reg)
 
-        # ERS selection per image (detector :143-200).
-        cls_idx, cls_mask, reg_idx, reg_mask = jax.vmap(
-            lambda c, r: ers_select(c, r, cfg.ers_cls_cap, cfg.ers_reg_cap)
-        )(t_cls, t_reg)
+        # ERS selection per image (detector :143-200). The cls branch is a
+        # dense mask (exact, uncapped); the reg branch keeps a capped top-k
+        # because its NMS dedupe needs a bounded candidate set.
+        cls_mask_dense = jax.vmap(ers_cls_mask_dense)(t_cls)  # (B, N)
+
+        def _reg_select(r):
+            crit = r.max(axis=-1)
+            mean, std = masked_mean_std(crit, jnp.ones(crit.shape, bool))
+            return topk_mask_select(crit, cfg.ers_reg_cap, mean + 2 * std)
+
+        reg_idx, reg_mask = jax.vmap(_reg_select)(t_reg)
 
         # Student forward.
         s_cls_lvl, s_reg_lvl = self.forward_raw(variables, images)
@@ -132,19 +153,24 @@ class ERDDetector(GFLDetector):
         losses = gfl_loss(ctx, s_cls[..., ori_c:], s_reg, targets,
                           self.train_cfg, reg_max=self.reg_max)
 
-        # ---- distillation (head :142-223) ----
+        # ---- distillation (head :142-223), computed DENSELY ----
+        # All selections become stop-gradient masks over the full anchor
+        # axis, so the backward pass is elementwise; gathered formulations
+        # lower to serial scatter while-loops on TPU (~66 ms/step measured).
         anchors = jnp.asarray(ctx.anchors)
         centers = bbox_center(anchors)  # (N, 2) full-canvas frame
 
-        def distill_single(s_cls_i, s_reg_i, t_cls_i, t_reg_i, ci, cm, ri,
+        def distill_single(s_cls_i, s_reg_i, t_cls_i, t_reg_i, cmask, ri,
                            rm):
-            # cls distill: plain mean-L2 on ERS-cls-selected old-class logits.
-            l_cls = l2_response_loss(s_cls_i[ci, :ori_c], t_cls_i[ci],
-                                     mask=cm[:, None])
+            # cls distill: mean-L2 over the mu+2sigma-selected rows of the
+            # old-class block (exact reference semantics, uncapped).
+            l_cls = l2_response_loss(s_cls_i[:, :ori_c], t_cls_i,
+                                     mask=cmask[:, None])
 
             # reg distill: decode teacher boxes at ERS-reg anchors, dedupe
-            # with iou=0.005 NMS, KD-KL on corner distributions weighted by
-            # the student's old-class confidence.
+            # with iou=0.005 NMS (on the bounded candidate set), scatter the
+            # kept-mask back to the dense axis, KD-KL everywhere weighted by
+            # the kept mask * detached student old-class confidence.
             t_dist = integral(t_reg_i, self.reg_max)  # (N, 4)
             t_boxes = distance2bbox(centers, t_dist)
             t_conf = jax.nn.sigmoid(t_cls_i)
@@ -152,21 +178,22 @@ class ERDDetector(GFLDetector):
             ids = t_conf.argmax(axis=-1)
             keep = batched_nms_mask(t_boxes[ri], conf[ri], ids[ri],
                                     cfg.distill_nms_iou, valid_mask=rm)
+            n = t_cls_i.shape[0]
+            kept_dense = jnp.zeros((n,), bool).at[ri].max(keep & rm)
 
             w = jax.nn.sigmoid(
-                jax.lax.stop_gradient(s_cls_i[ri, :ori_c])).max(axis=-1)
-            w = jnp.where(keep & rm, w, 0.0)  # (K,)
-            k = ri.shape[0]
-            s_corners = s_reg_i[ri].reshape(k * 4, self.reg_max + 1)
-            t_corners = t_reg_i[ri].reshape(k * 4, self.reg_max + 1)
-            w4 = jnp.broadcast_to(w[:, None], (k, 4)).reshape(-1)
+                jax.lax.stop_gradient(s_cls_i[:, :ori_c])).max(axis=-1)
+            w = jnp.where(kept_dense, w, 0.0)  # (N,)
+            s_corners = s_reg_i.reshape(n * 4, self.reg_max + 1)
+            t_corners = t_reg_i.reshape(n * 4, self.reg_max + 1)
+            w4 = jnp.broadcast_to(w[:, None], (n, 4)).reshape(-1)
             l_reg = knowledge_distillation_kl_div_loss(
                 s_corners, t_corners, weight=w4, T=cfg.ld_T,
                 avg_factor=4.0)
             return l_cls, cfg.ld_weight * l_reg
 
         l_cls_i, l_reg_i = jax.vmap(distill_single)(
-            s_cls, s_reg, t_cls, t_reg, cls_idx, cls_mask, reg_idx, reg_mask)
+            s_cls, s_reg, t_cls, t_reg, cls_mask_dense, reg_idx, reg_mask)
 
         # DDP-equivalent scaling of the per-image loss sums (see module doc).
         scale = cfg.dist_loss_weight / cfg.num_devices
