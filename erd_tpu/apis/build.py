@@ -23,6 +23,7 @@ from ..models.detectors.mask_rcnn import MaskRCNNDetector
 from ..models.detectors.yolov3 import YOLOV3Detector
 from ..models.detectors.detr import DETRDetector
 from ..models.detectors.ssd import SSDDetector
+from ..models.detectors.yolox import YOLOXDetector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -88,6 +89,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return SSDDetector(
             input_size=model_cfg.get('input_size', 300),
             test_cfg=test_cfg, **base)
+    if mtype == 'YOLOX':
+        base.pop('depth')
+        return YOLOXDetector(test_cfg=test_cfg, **base)
     if mtype == 'DETR':
         return DETRDetector(
             num_queries=model_cfg.get('num_queries', 100),
