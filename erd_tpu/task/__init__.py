@@ -6,11 +6,13 @@ from .hungarian import hungarian_match
 from .max_iou import max_iou_assign
 from .samplers import SampleResult, ohem_sample, random_sample
 from .sim_ota import sim_ota_assign
+from .task_aligned import task_aligned_assign
 
 __all__ = [
     'AnchorGenerator', 'MlvlPointGenerator', 'featmap_sizes_for',
     'valid_flags_jax', 'AssignResult', 'atss_assign', 'atss_assign_batch',
     'DistancePointBBoxCoder', 'DeltaXYWHBBoxCoder', 'max_iou_assign',
-    'sim_ota_assign', 'hungarian_match', 'random_sample', 'ohem_sample',
+    'sim_ota_assign', 'task_aligned_assign', 'hungarian_match',
+    'random_sample', 'ohem_sample',
     'SampleResult',
 ]

@@ -168,3 +168,32 @@ def test_sim_ota_basic(rng):
     for i in np.where(pos)[0]:
         b = gts[gi[i]]
         assert b[0] <= pts[i, 0] <= b[2] and b[1] <= pts[i, 1] <= b[3]
+
+
+def test_task_aligned_assign(rng):
+    import jax
+    from erd_tpu.task import task_aligned_assign
+
+    n, g, c = 150, 2, 4
+    pts = rand_boxes(rng, n, w=200, h=200)[:, :2]
+    gts = np.asarray([[20, 20, 100, 100], [120, 120, 190, 190]],
+                     np.float32)
+    labels = np.asarray([0, 2], np.int32)
+    mask = np.asarray([True, True])
+    decoded = np.tile(pts, (1, 2)).astype(np.float32)
+    decoded[:, :2] -= 10
+    decoded[:, 2:] += 10
+    scores = np.full((n, c), 0.5, np.float32)
+    res = jax.jit(lambda *a: task_aligned_assign(*a))(
+        jnp.asarray(pts), jnp.asarray(decoded), jnp.asarray(scores),
+        jnp.asarray(gts), jnp.asarray(labels), jnp.asarray(mask))
+    pos = np.asarray(res.pos_mask)
+    gi = np.asarray(res.gt_idx)
+    assert pos.sum() > 0
+    # at most topk=13 positives per gt
+    for j in range(g):
+        assert (gi[pos] == j).sum() <= 13
+    # all positive centers strictly inside the assigned gt
+    for i in np.where(pos)[0]:
+        b = gts[gi[i]]
+        assert b[0] < pts[i, 0] < b[2] and b[1] < pts[i, 1] < b[3]
