@@ -25,6 +25,7 @@ from ..models.detectors.detr import DETRDetector
 from ..models.detectors.ssd import SSDDetector
 from ..models.detectors.yolox import YOLOXDetector
 from ..models.detectors.deformable_detr import DeformableDETRDetector
+from ..models.detectors.rtmdet import RTMDetDetector
 from ..models.heads.gfl_head import GFLTestConfig, GFLTrainConfig
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
@@ -97,6 +98,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return DETRDetector(
             num_queries=model_cfg.get('num_queries', 100),
             max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'RTMDet':
+        base.pop('depth')
+        return RTMDetDetector(test_cfg=test_cfg, **base)
     if mtype == 'DeformableDETR':
         return DeformableDETRDetector(
             num_queries=model_cfg.get('num_queries', 300),

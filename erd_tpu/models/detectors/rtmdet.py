@@ -1,0 +1,336 @@
+"""RTMDet detector: CSPNeXt backbone + shared-conv separated-BN head +
+dynamic soft-label assignment.
+
+Behavioural mirror of /root/reference/mmdet/models/detectors/rtmdet.py +
+dense_heads/rtmdet_head.py + backbones/cspnext.py (rtmdet-s layout):
+CSPNeXt blocks (3x3 conv + 5x5 depthwise), SiLU + train-time BN, a head
+whose conv KERNELS are shared across the three levels while each level keeps
+its own BN statistics (exp_on_reg off: reg scaled by stride), QFL-style soft
+classification targets = IoU of the assigned box, GIoU box loss, and a
+DynamicSoftLabelAssigner (SimOTA-style dynamic-k over a soft-label cost).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...losses import giou_loss, quality_focal_loss_tensor_target
+from ...ops import cap_candidates, filter_scores_and_topk, nms_select
+from ...structures import DetResults, distance2bbox
+from ...structures.boxes import bbox_overlaps, scale_boxes
+from ..backbones.csp_darknet import ConvBNSiLU, CSPLayer, SPPBottleneck
+from ..heads.gfl_head import GFLTestConfig
+from ..layers import nearest_upsample_to, torch_pad
+from ..preprocessor import Preprocessor
+from .yolox import YOLOXContext  # same stride-(8,16,32) point grid
+
+INF = 1e8
+
+
+class CSPNeXtBlock(nn.Module):
+    features: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBNSiLU(self.features, 3, name='conv1')(x, train)
+        # 5x5 depthwise conv (the CSPNeXt signature op)
+        y = nn.Conv(self.features, (5, 5), padding=[torch_pad(5)] * 2,
+                    feature_group_count=self.features, use_bias=False,
+                    name='dwconv')(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, name='dwbn')(y)
+        y = nn.silu(y)
+        return x + y if self.shortcut and x.shape[-1] == self.features \
+            else y
+
+
+class CSPNeXtLayer(nn.Module):
+    features: int
+    num_blocks: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.features // 2
+        a = ConvBNSiLU(mid, 1, name='main_conv')(x, train)
+        b = ConvBNSiLU(mid, 1, name='short_conv')(x, train)
+        for i in range(self.num_blocks):
+            a = CSPNeXtBlock(mid, self.shortcut,
+                             name=f'block{i}')(a, train)
+        return ConvBNSiLU(self.features, 1, name='final_conv')(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class CSPNeXt(nn.Module):
+    deepen: float = 0.33  # rtmdet-s
+    widen: float = 0.5
+    out_indices: Tuple[int, ...] = (2, 3, 4)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def w(c):
+            return max(int(c * self.widen), 16)
+
+        def d(n):
+            return max(round(n * self.deepen), 1)
+
+        x = x.astype(self.compute_dtype)
+        # 3-conv stem (stride 2 total)
+        x = ConvBNSiLU(w(64) // 2, 3, stride=2, name='stem0')(x, train)
+        x = ConvBNSiLU(w(64) // 2, 3, name='stem1')(x, train)
+        x = ConvBNSiLU(w(64), 3, name='stem2')(x, train)
+        outs = []
+        cfg = [(w(128), d(3), False), (w(256), d(6), False),
+               (w(512), d(6), False), (w(1024), d(3), True)]
+        for i, (ch, nb, spp) in enumerate(cfg, start=1):
+            x = ConvBNSiLU(ch, 3, stride=2, name=f'stage{i}_down')(x, train)
+            if spp:
+                x = SPPBottleneck(ch, name=f'stage{i}_spp')(x, train)
+            x = CSPNeXtLayer(ch, nb, shortcut=not spp,
+                             name=f'stage{i}_csp')(x, train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+class RTMDetHeadNet(nn.Module):
+    """Shared conv kernels across levels; per-level BatchNorm."""
+    num_classes: int
+    feat_channels: int = 128
+    stacked_convs: int = 2
+    num_levels: int = 3
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[torch_pad(3)] * 2, use_bias=False,
+                             name=f'cls_conv_{j}')
+                     for j in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[torch_pad(3)] * 2, use_bias=False,
+                             name=f'reg_conv_{j}')
+                     for j in range(self.stacked_convs)]
+        rtm_cls = nn.Conv(self.num_classes, (1, 1), name='rtm_cls')
+        rtm_reg = nn.Conv(4, (1, 1), name='rtm_reg')
+        outs_cls, outs_reg = [], []
+        for i, x in enumerate(feats):
+            c = x
+            r = x
+            for j in range(self.stacked_convs):
+                c = nn.silu(nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.97, epsilon=1e-3,
+                                         name=f'cls_bn_{i}_{j}')(
+                    cls_convs[j](c)))
+                r = nn.silu(nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.97, epsilon=1e-3,
+                                         name=f'reg_bn_{i}_{j}')(
+                    reg_convs[j](r)))
+            outs_cls.append(rtm_cls(c).astype(jnp.float32))
+            outs_reg.append(rtm_reg(r).astype(jnp.float32))
+        return outs_cls, outs_reg
+
+
+class RTMDetNet(nn.Module):
+    num_classes: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        feats = CSPNeXt(compute_dtype=self.compute_dtype,
+                        name='backbone')(images, train)
+        # CSP-PAFPN-style neck (reuse YOLOX's structure via CSPNeXt convs)
+        c3, c4, c5 = feats
+        p5 = ConvBNSiLU(c4.shape[-1], 1, name='reduce1')(c5, train)
+        u = nearest_upsample_to(p5, c4.shape[-3:-1])
+        p4 = CSPNeXtLayer(c4.shape[-1], 1, shortcut=False,
+                          name='td_csp1')(jnp.concatenate([u, c4], -1),
+                                          train)
+        p4r = ConvBNSiLU(c3.shape[-1], 1, name='reduce2')(p4, train)
+        u = nearest_upsample_to(p4r, c3.shape[-3:-1])
+        p3 = CSPNeXtLayer(c3.shape[-1], 1, shortcut=False,
+                          name='td_csp2')(jnp.concatenate([u, c3], -1),
+                                          train)
+        d3 = ConvBNSiLU(c3.shape[-1], 3, stride=2, name='down1')(p3, train)
+        n4 = CSPNeXtLayer(c4.shape[-1], 1, shortcut=False,
+                          name='bu_csp1')(jnp.concatenate([d3, p4r], -1),
+                                          train)
+        d4 = ConvBNSiLU(c4.shape[-1], 3, stride=2, name='down2')(n4, train)
+        n5 = CSPNeXtLayer(c5.shape[-1], 1, shortcut=False,
+                          name='bu_csp2')(jnp.concatenate([d4, p5], -1),
+                                          train)
+        # project to a common head width
+        width = c3.shape[-1]
+        levels = [ConvBNSiLU(width, 1, name=f'out_conv{i}')(f, train)
+                  for i, f in enumerate((p3, n4, n5))]
+        return RTMDetHeadNet(num_classes=self.num_classes,
+                             feat_channels=width,
+                             name='bbox_head')(levels, train)
+
+
+def dynamic_soft_label_assign(points, strides, decoded, cls_probs,
+                              gt_bboxes, gt_labels, gt_mask,
+                              topk=13, soft_weight=1.0, iou_weight=3.0):
+    """DynamicSoftLabelAssigner: SimOTA-style dynamic-k over soft-label cost.
+
+    cost = |p - iou|^2-scaled BCE(p, iou soft target) + 3 * (-log IoU),
+    candidates = priors whose center is inside the gt box.
+    """
+    n = points.shape[0]
+    g = gt_bboxes.shape[0]
+    ious = bbox_overlaps(decoded, gt_bboxes)  # (N, G)
+    x, y = points[:, 0:1], points[:, 1:2]
+    inside = (x > gt_bboxes[None, :, 0]) & (x < gt_bboxes[None, :, 2]) & \
+             (y > gt_bboxes[None, :, 1]) & (y < gt_bboxes[None, :, 3])
+    inside = inside[:, 0] if inside.ndim == 3 else inside
+    valid = inside & gt_mask[None, :]
+
+    p = jnp.take_along_axis(
+        jnp.pad(cls_probs, ((0, 0), (0, 1))),
+        jnp.clip(gt_labels, 0, cls_probs.shape[1])[None, :].repeat(n, 0),
+        axis=1)  # (N, G)
+    soft = ious  # soft target = IoU
+    eps = 1e-8
+    bce = -(soft * jnp.log(p + eps) + (1 - soft) * jnp.log(1 - p + eps))
+    cls_cost = bce * jnp.power(jnp.abs(soft - p), 2.0)
+    cost = soft_weight * cls_cost + \
+        iou_weight * (-jnp.log(jnp.clip(ious, eps, None)))
+    cost = jnp.where(valid, cost, INF)
+
+    k = min(topk, n)
+    topk_ious, _ = jax.lax.top_k(jnp.where(valid, ious, 0.0).T, k)
+    dynamic_k = jnp.clip(topk_ious.sum(axis=1).astype(jnp.int32), 1, None)
+    order = jnp.argsort(cost.T, axis=1)
+    ranks = jax.vmap(lambda o: jnp.zeros((n,), jnp.int32).at[o].set(
+        jnp.arange(n, dtype=jnp.int32)))(order)
+    chosen = (ranks < dynamic_k[:, None]).T & valid
+
+    cost_sel = jnp.where(chosen, cost, INF)
+    best = cost_sel.min(axis=1)
+    gt_idx = cost_sel.argmin(axis=1).astype(jnp.int32)
+    pos = best < INF
+    return pos, gt_idx, ious
+
+
+@dataclass
+class RTMDetDetector:
+    num_classes: int = 80
+    compute_dtype: Any = jnp.float32
+    preprocessor: Preprocessor = field(default_factory=Preprocessor)
+    test_cfg: GFLTestConfig = field(
+        default_factory=lambda: GFLTestConfig(score_thr=0.05,
+                                              iou_threshold=0.65))
+
+    def __post_init__(self):
+        self.net = RTMDetNet(num_classes=self.num_classes,
+                             compute_dtype=self.compute_dtype)
+        self._ctx_cache: Dict[Tuple[int, int], YOLOXContext] = {}
+        self.loss_jit = jax.jit(self.loss)
+        self.loss_and_state_jit = jax.jit(self.loss_and_state)
+        self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
+        self.forward_jit = jax.jit(self.forward_raw)
+
+    def context(self, image_shape):
+        key = tuple(int(v) for v in image_shape)
+        if key not in self._ctx_cache:
+            self._ctx_cache[key] = YOLOXContext.build(key)
+        return self._ctx_cache[key]
+
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
+                          jnp.uint8)
+        return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
+
+    def forward_raw(self, variables, images):
+        return self.net.apply(variables, self.preprocessor(images))
+
+    def _flatten(self, cls_lvl, reg_lvl):
+        b = cls_lvl[0].shape[0]
+        cls = jnp.concatenate(
+            [m.reshape(b, -1, self.num_classes) for m in cls_lvl], axis=1)
+        reg = jnp.concatenate(
+            [m.reshape(b, -1, 4) for m in reg_lvl], axis=1)
+        return cls, reg
+
+    def _decode(self, ctx, reg):
+        pts = jnp.asarray(ctx.points)[None]
+        strides = jnp.asarray(ctx.strides)[None, :, None]
+        # distances are predicted in stride units (exp_on_reg=False form)
+        return distance2bbox(pts, jax.nn.relu(reg) * strides)
+
+    def loss_and_state(self, variables, batch, teacher_variables=None):
+        images = batch['images']
+        ctx = self.context(images.shape[1:3])
+        (cls_lvl, reg_lvl), new_state = self.net.apply(
+            variables, self.preprocessor(images), train=True,
+            mutable=['batch_stats'])
+        cls, reg = self._flatten(cls_lvl, reg_lvl)
+        boxes = self._decode(ctx, reg)
+        pts = jnp.asarray(ctx.points)
+        strides = jnp.asarray(ctx.strides)
+        gt = batch['gt']
+
+        def single(cls_i, boxes_i, gt_b, gt_l, gt_m):
+            probs = jax.nn.sigmoid(jax.lax.stop_gradient(cls_i))
+            pos, gt_idx, ious = dynamic_soft_label_assign(
+                pts, strides, jax.lax.stop_gradient(boxes_i), probs,
+                gt_b, gt_l, gt_m)
+            n_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+            tgt_boxes = gt_b[gt_idx]
+            iou_t = jnp.where(pos, bbox_overlaps(
+                jax.lax.stop_gradient(boxes_i), tgt_boxes,
+                is_aligned=True), 0.0)
+            onehot = jax.nn.one_hot(jnp.where(pos, gt_l[gt_idx], 0),
+                                    self.num_classes)
+            soft = onehot * iou_t[:, None]
+            l_cls = quality_focal_loss_tensor_target(
+                cls_i, soft, avg_factor=n_pos)
+            lb = giou_loss(boxes_i, tgt_boxes, reduction='none')
+            l_box = 2.0 * (lb * pos).sum() / n_pos
+            return l_cls, l_box
+
+        l_cls, l_box = jax.vmap(single)(cls, boxes, gt.bboxes, gt.labels,
+                                        gt.mask)
+        losses = dict(loss_cls=l_cls.mean(), loss_bbox=l_box.mean())
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        consts['batch_stats'] = new_state['batch_stats']
+        return losses, consts
+
+    def loss(self, variables, batch):
+        return self.loss_and_state(variables, batch)[0]
+
+    def predict(self, variables, batch, rescale=True):
+        images = batch['images']
+        ctx = self.context(images.shape[1:3])
+        cls_lvl, reg_lvl = self.forward_raw(variables, images)
+        cls, reg = self._flatten(cls_lvl, reg_lvl)
+        boxes = self._decode(ctx, reg)
+
+        def single(c_i, b_i, img_shape, scale_factor):
+            scores = jax.nn.sigmoid(c_i)
+            k = min(self.test_cfg.nms_pre,
+                    scores.shape[0] * scores.shape[1])
+            top_s, top_lab, top_idx, mask = filter_scores_and_topk(
+                scores, self.test_cfg.score_thr, k)
+            sel = b_i[top_idx]
+            h, w = img_shape[0], img_shape[1]
+            sel = jnp.clip(sel, 0,
+                           jnp.stack([w, h, w, h]).astype(sel.dtype))
+            top_s, mask, sel, top_lab = cap_candidates(
+                top_s, mask, self.test_cfg.pre_nms_total, sel, top_lab)
+            if rescale:
+                sel = scale_boxes(sel, 1.0 / scale_factor)
+            ob, os_, ol, om = nms_select(sel, top_s, top_lab,
+                                         self.test_cfg.iou_threshold,
+                                         self.test_cfg.max_per_img,
+                                         valid_mask=mask)
+            return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
+
+        return jax.vmap(single)(cls, boxes, batch['meta'].img_shape,
+                                batch['meta'].scale_factor)
