@@ -59,7 +59,12 @@ class Scale(nn.Module):
 
 
 class ConvModule(nn.Module):
-    """Conv2d + optional norm (GN/frozen-BN) + optional ReLU, torch padding."""
+    """Conv2d + optional norm (GN/frozen-BN) + optional ReLU, torch padding.
+
+    GroupNorm computes in the INPUT dtype (params stay fp32): flax's default
+    promotes to fp32, which forces dtype round-trips between every conv and
+    norm in bf16 towers.
+    """
     features: int
     kernel_size: int = 3
     strides: int = 1
@@ -86,7 +91,7 @@ class ConvModule(nn.Module):
             name=self.name_conv)(x)
         if self.norm == 'gn':
             x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
-                             name='gn')(x)
+                             dtype=x.dtype, name='gn')(x)
         elif self.norm == 'bn':
             x = FrozenBatchNorm(self.features, name='bn')(x)
         if self.act:
