@@ -1,3 +1,4 @@
+from .extra_nms import corner_pool, fast_nms, matrix_nms
 from .integral import integral
 from .misc import (cap_candidates, filter_scores_and_topk, masked_mean_std,
                    topk_mask_select, unmap)
@@ -6,5 +7,5 @@ from .nms import batched_nms_mask, nms_mask, nms_select
 __all__ = [
     'integral', 'nms_mask', 'batched_nms_mask', 'nms_select',
     'filter_scores_and_topk', 'topk_mask_select', 'masked_mean_std', 'unmap',
-    'cap_candidates',
+    'cap_candidates', 'matrix_nms', 'fast_nms', 'corner_pool',
 ]

@@ -118,3 +118,45 @@ def test_masked_mean_std_matches_torch(rng):
     tx = torch.as_tensor(x[mask])
     np.testing.assert_allclose(float(mean), float(tx.mean()), rtol=1e-5)
     np.testing.assert_allclose(float(std), float(tx.std()), rtol=1e-4)
+
+
+def test_matrix_nms_decays_duplicates(rng):
+    from erd_tpu.ops import matrix_nms
+    boxes = np.asarray([[0, 0, 50, 50], [1, 1, 51, 51], [200, 200, 250, 250]],
+                       np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    labels = np.asarray([0, 0, 0], np.int32)
+    out = np.asarray(matrix_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.asarray(labels)))
+    assert out[0] == pytest.approx(0.9, abs=1e-5)   # top box undedecayed
+    assert out[1] < 0.3                              # duplicate crushed
+    assert out[2] == pytest.approx(0.7, abs=1e-3)   # disjoint box kept
+
+
+def test_fast_nms_vs_greedy_easy(rng):
+    from erd_tpu.ops import fast_nms
+    boxes = rand_boxes(rng, 40, w=100, h=100)
+    scores = rng.rand(40).astype(np.float32)
+    labels = np.zeros(40, np.int32)
+    keep_fast = np.asarray(fast_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                    jnp.asarray(labels), 0.5))
+    keep_greedy = np.zeros(40, bool)
+    keep_greedy[np_greedy_nms(boxes, scores, 0.5)] = True
+    # fast NMS only ever suppresses MORE than greedy
+    assert not (keep_fast & ~keep_greedy).any()
+    # the top-scoring box always survives both
+    assert keep_fast[scores.argmax()]
+
+
+def test_corner_pool_directions():
+    from erd_tpu.ops import corner_pool
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4, 1))
+    bottom = np.asarray(corner_pool(x, 'bottom'))[0, :, :, 0]
+    np.testing.assert_array_equal(bottom[2], [8, 9, 10, 11])
+    top = np.asarray(corner_pool(x, 'top'))[0, :, :, 0]
+    # every row of 'top' equals the max over itself and rows below
+    np.testing.assert_array_equal(top[0], [8, 9, 10, 11])
+    left = np.asarray(corner_pool(x, 'left'))[0, :, :, 0]
+    np.testing.assert_array_equal(left[:, 0], [3, 7, 11])
+    right = np.asarray(corner_pool(x, 'right'))[0, :, :, 0]
+    np.testing.assert_array_equal(right[:, 3], [3, 7, 11])
