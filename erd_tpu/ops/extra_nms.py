@@ -68,12 +68,14 @@ def corner_pool(x, direction):
     upward), matching mmcv's TopPool, etc. Implemented as flipped cumulative
     maxima — pure lax.cummax, no kernel needed.
     """
+    h_ax = x.ndim - 3
+    w_ax = x.ndim - 2
     if direction == 'bottom':
-        return jax.lax.cummax(x, axis=-3)
+        return jax.lax.cummax(x, axis=h_ax)
     if direction == 'top':
-        return jnp.flip(jax.lax.cummax(jnp.flip(x, -3), axis=-3), -3)
+        return jnp.flip(jax.lax.cummax(jnp.flip(x, h_ax), axis=h_ax), h_ax)
     if direction == 'right':
-        return jax.lax.cummax(x, axis=-2)
+        return jax.lax.cummax(x, axis=w_ax)
     if direction == 'left':
-        return jnp.flip(jax.lax.cummax(jnp.flip(x, -2), axis=-2), -2)
+        return jnp.flip(jax.lax.cummax(jnp.flip(x, w_ax), axis=w_ax), w_ax)
     raise ValueError(direction)
