@@ -1,7 +1,7 @@
 from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
 from .ema import MeanTeacherHook, ema_update, exp_momentum
-from .hooks import (CheckInvalidLossHook, Hook, LoggerHook,
-                    MemoryReportHook, NumClassCheckHook,
+from .hooks import (CheckInvalidLossHook, DetVisualizationHook, Hook,
+                    LoggerHook, MemoryReportHook, NumClassCheckHook,
                     PipelineSwitchHook, SetEpochInfoHook)
 from .optim import adamw_optimizer, resnet_frozen_paths, sgd_optimizer
 from .schedules import auto_scale_lr, warmup_multistep
@@ -15,4 +15,5 @@ __all__ = [
     'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',
     'MeanTeacherHook', 'ema_update', 'exp_momentum',
     'NumClassCheckHook', 'PipelineSwitchHook', 'SetEpochInfoHook',
+    'DetVisualizationHook',
 ]

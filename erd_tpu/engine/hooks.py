@@ -128,6 +128,42 @@ class SetEpochInfoHook(Hook):
         trainer.epoch = epoch + 1
 
 
+class DetVisualizationHook(Hook):
+    """Save drawn predictions for a few images after each validation epoch
+    (reference engine/hooks/visualization_hook.py analogue).
+
+    The trainer's ``val_fn`` populates ``trainer.last_val_samples`` with up
+    to ``max_images`` (image, DetectionResult) pairs when this hook is
+    present; the hook renders and writes them under ``out_dir``.
+    """
+
+    def __init__(self, out_dir, class_names=None, score_thr=0.3,
+                 max_images=4):
+        self.out_dir = out_dir
+        self.class_names = class_names
+        self.score_thr = score_thr
+        self.max_images = max_images
+
+    def after_epoch(self, trainer, epoch):
+        import os
+
+        from ..visualization import save_visualization
+        samples = getattr(trainer, 'last_val_samples', None)
+        if not samples:
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        for i, (img, res) in enumerate(samples[:self.max_images]):
+            save_visualization(
+                os.path.join(self.out_dir,
+                             f'epoch{epoch + 1}_img{res.img_id}.jpg'),
+                img, res.bboxes, res.scores, res.labels,
+                self.class_names, score_thr=self.score_thr)
+            if i + 1 >= self.max_images:
+                break
+        log.info(f'wrote {min(len(samples), self.max_images)} '
+                 f'visualizations to {self.out_dir}')
+
+
 class MemoryReportHook(Hook):
     """Log device memory stats every ``interval`` iters (when available)."""
 

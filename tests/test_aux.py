@@ -89,3 +89,23 @@ def test_inference_benchmark(small_det, small_vars):  # noqa: F811
                              max_iter=3).run()
     d = res.as_dict()
     assert d['fps'] > 0 and d['p90_ms'] >= d['p50_ms'] * 0
+
+
+def test_det_visualization_hook(tmp_path):
+    import os
+    from erd_tpu.engine import DetVisualizationHook
+    from erd_tpu.evaluation.coco_eval import DetectionResult
+
+    class FakeTrainer:
+        pass
+
+    tr = FakeTrainer()
+    img = np.zeros((40, 60, 3), np.uint8)
+    res = DetectionResult(img_id=7,
+                          bboxes=np.asarray([[5., 5., 30., 30.]]),
+                          scores=np.asarray([0.9]),
+                          labels=np.asarray([0]))
+    tr.last_val_samples = [(img, res)]
+    hook = DetVisualizationHook(str(tmp_path / 'vis'), class_names=['a'])
+    hook.after_epoch(tr, 0)
+    assert os.path.exists(tmp_path / 'vis' / 'epoch1_img7.jpg')
