@@ -97,28 +97,51 @@ class DetDataLoader:
                     meta=_stack_tree(metas))
 
     def epoch(self, epoch: int) -> Iterator[dict]:
-        """Yield prefetched batches for one epoch."""
+        """Yield prefetched batches for one epoch.
+
+        Worker exceptions (corrupt image, missing file, pipeline bug) are
+        forwarded through the queue and re-raised in the consumer — the
+        producer never dies without handing over either a batch, the
+        exception, or the end-of-epoch sentinel, so the consumer can't
+        block forever on ``q.get()``.
+        """
         batches = self._batches_for_epoch(epoch)
         q: 'queue.Queue' = queue.Queue(maxsize=self.cfg.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # bounded put that aborts when the consumer has gone away,
+            # so an abandoned iterator can't wedge the producer thread.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with cf.ThreadPoolExecutor(self.cfg.num_workers) as pool:
-                futs = []
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    if isinstance(b, tuple):
-                        idxs, n_valid = b
-                    else:
-                        idxs, n_valid = b, None
-                    futs.append(pool.submit(self._make_batch, idxs, epoch,
-                                            n_valid))
-                    while len(futs) >= self.cfg.prefetch + 1:
-                        q.put(futs.pop(0).result())
-                for f in futs:
-                    q.put(f.result())
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.cfg.num_workers) as pool:
+                    futs = []
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        if isinstance(b, tuple):
+                            idxs, n_valid = b
+                        else:
+                            idxs, n_valid = b, None
+                        futs.append(pool.submit(self._make_batch, idxs,
+                                                epoch, n_valid))
+                        while len(futs) >= self.cfg.prefetch + 1:
+                            if not put(futs.pop(0).result()):
+                                return
+                    for f in futs:
+                        if not put(f.result()):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — forwarded, re-raised
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -127,6 +150,8 @@ class DetDataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -102,7 +102,6 @@ def rcnn_loss(cls_logits, reg_preds, samples: RoISamples, num_classes,
     valid = samples.valid.reshape(-1)
     is_pos = samples.is_pos.reshape(-1)
     n_valid = jnp.maximum(valid.sum(), 1.0)
-    n_pos = jnp.maximum(is_pos.sum(), 1.0)
 
     ce = cross_entropy_int(cls_logits, labels)
     loss_cls = cfg.cls_weight * (ce * valid).sum() / n_valid
@@ -113,7 +112,10 @@ def rcnn_loss(cls_logits, reg_preds, samples: RoISamples, num_classes,
     reg_at_label = jnp.take_along_axis(
         r, safe[:, None, None].repeat(4, axis=2), axis=1)[:, 0]
     l1 = jnp.abs(reg_at_label - samples.deltas.reshape(-1, 4)).sum(-1)
-    loss_bbox = cfg.bbox_weight * (l1 * is_pos).sum() / n_pos
+    # Reference normalization (mmdet bbox_head.py loss):
+    # avg_factor = bbox_targets.size(0) == the TOTAL sampled RoI count, not
+    # the positive count — keeps the cls/bbox balance the recipe was tuned on.
+    loss_bbox = cfg.bbox_weight * (l1 * is_pos).sum() / n_valid
 
     acc = ((cls_logits.argmax(-1) == labels) & valid).sum() / n_valid
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc

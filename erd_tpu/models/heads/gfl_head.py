@@ -139,9 +139,10 @@ class GFLTestConfig:
     # Global cap on candidates entering NMS after level concat. The
     # reference feeds up to num_levels*nms_pre candidates to its CUDA NMS;
     # a fixed-shape NMS pays O(cap^2) memory + O(cap) sequential steps, so
-    # we keep the strongest ``pre_nms_total`` by score (loss-free in
-    # practice for max_per_img=100).
-    pre_nms_total: int = 1000
+    # we keep the strongest ``pre_nms_total`` by score. 2000 keeps the IoU
+    # matrix at 16 MB/img while bounding the crowded-scene drop risk; raise
+    # per-config (up to num_levels*nms_pre) when AR on dense scenes matters.
+    pre_nms_total: int = 2000
 
 
 def flatten_levels(level_maps: Sequence[jnp.ndarray]) -> jnp.ndarray:

@@ -41,7 +41,8 @@ def topk_mask_select(criterion, cap, threshold):
     and mark the ones actually above the threshold. Returns (idx (cap,),
     mask (cap,)).
     """
-    top_vals, top_idx = jax.lax.top_k(criterion, cap)
+    top_vals, top_idx = jax.lax.top_k(criterion,
+                                      min(cap, criterion.shape[-1]))
     mask = top_vals > threshold
     return top_idx.astype(jnp.int32), mask
 

@@ -38,15 +38,19 @@ def ms_deform_attn_sample(value_levels, sampling_locs, attn_weights):
         y0 = jnp.floor(ys)
         wx = xs - x0
         wy = ys - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        x1i = jnp.clip(x0i + 1, 0, w - 1)
-        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x1i = x0i + 1
+        y1i = y0i + 1
         head_idx = jnp.arange(n_heads)[None, :, None]  # (1, heads, 1)
 
         def read(yy, xx):
-            # v[(y, x, head)] -> (Q, heads, K, head_dim)
-            return v[yy, xx, head_idx]
+            # torch grid_sample(padding_mode='zeros') semantics: each corner
+            # outside the map contributes zero, not a clamped edge read.
+            ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            yc = jnp.clip(yy, 0, h - 1)
+            xc = jnp.clip(xx, 0, w - 1)
+            return v[yc, xc, head_idx] * ok[..., None]
 
         v00 = read(y0i, x0i)
         v01 = read(y0i, x1i)

@@ -21,26 +21,31 @@ import jax.numpy as jnp
 
 
 def _bilinear_gather(feat, ys, xs):
-    """feat (H, W, C); ys/xs (...,) -> (..., C) bilinear samples; out-of-range
-    samples read clamped edges (matching zero-gradient outside behavior is
-    unnecessary because rois are clipped upstream)."""
+    """feat (H, W, C); ys/xs (...,) -> (..., C) bilinear samples with mmcv
+    RoIAlign boundary semantics: samples strictly outside [-1, H]x[-1, W]
+    contribute zero; in-range coords are clamped to [0, size-1] with the
+    reference's edge handling (y_low >= H-1 => y = y_low, ly = 0)."""
     h, w, _ = feat.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy1 = ys - y0
-    wx1 = xs - x0
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    inside = (ys >= -1.0) & (ys <= h) & (xs >= -1.0) & (xs <= w)
+    y = jnp.clip(ys, 0.0, None)
+    x = jnp.clip(xs, 0.0, None)
+    y0i = jnp.minimum(y.astype(jnp.int32), h - 1)
+    x0i = jnp.minimum(x.astype(jnp.int32), w - 1)
+    y = jnp.where(y0i >= h - 1, jnp.asarray(h - 1, y.dtype), y)
+    x = jnp.where(x0i >= w - 1, jnp.asarray(w - 1, x.dtype), x)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    wy1 = y - y0i
+    wx1 = x - x0i
     v00 = feat[y0i, x0i]
     v01 = feat[y0i, x1i]
     v10 = feat[y1i, x0i]
     v11 = feat[y1i, x1i]
     wy1 = wy1[..., None]
     wx1 = wx1[..., None]
-    return (v00 * (1 - wy1) * (1 - wx1) + v01 * (1 - wy1) * wx1 +
-            v10 * wy1 * (1 - wx1) + v11 * wy1 * wx1)
+    out = (v00 * (1 - wy1) * (1 - wx1) + v01 * (1 - wy1) * wx1 +
+           v10 * wy1 * (1 - wx1) + v11 * wy1 * wx1)
+    return jnp.where(inside[..., None], out, 0.0)
 
 
 def roi_align(feat, rois, out_size=7, spatial_scale=1.0, sampling_ratio=2,

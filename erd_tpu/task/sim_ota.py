@@ -50,11 +50,15 @@ def sim_ota_assign(priors_xy, strides, decoded_boxes, cls_scores, gt_bboxes,
 
     ious = bbox_overlaps(decoded_boxes, gt_bboxes)  # (N, G)
     iou_cost = -jnp.log(jnp.clip(ious, 1e-8, None))
-    onehot_scores = jnp.take_along_axis(
-        jnp.pad(cls_scores, ((0, 0), (0, 1))),
-        jnp.clip(gt_labels, 0, cls_scores.shape[1])[None, :].repeat(n, 0),
-        axis=1)  # (N, G) prob of the gt class
-    cls_cost = -jnp.log(jnp.clip(onehot_scores, 1e-8, None))
+    # Reference cls cost (sim_ota_assigner.py): BCE(sqrt(scores), onehot)
+    # summed over ALL classes — confident wrong-class predictions are
+    # penalized too. For gt class g:
+    #   cost = sum_c -log(1 - sqrt(p_c)) + log(1 - sqrt(p_g)) - log(sqrt(p_g))
+    s = jnp.sqrt(jnp.clip(cls_scores, 0.0, 1.0))  # (N, C)
+    log_s = jnp.log(jnp.clip(s, 1e-8, None))
+    log_1ms = jnp.log(jnp.clip(1.0 - s, 1e-8, None))
+    gl = jnp.clip(gt_labels, 0, cls_scores.shape[1] - 1)  # (G,)
+    cls_cost = -log_1ms.sum(-1)[:, None] + (log_1ms - log_s)[:, gl]  # (N, G)
     cost = cls_weight * cls_cost + iou_weight * iou_cost + \
         jnp.where(in_both, 0.0, 100000.0)
     cost = jnp.where(valid, cost, INF)

@@ -9,16 +9,29 @@ from tests.test_models import make_batch
 
 
 def test_ms_deform_sample_constant_field():
-    """Sampling a constant map returns the constant regardless of offsets."""
+    """Sampling a constant map returns the constant for interior locations
+    (zero-padding semantics make border samples decay, as in grid_sample)."""
     rs = np.random.RandomState(0)
     levels = [jnp.full((8, 12, 2, 4), 3.0), jnp.full((4, 6, 2, 4), 3.0)]
     q, heads, L, K = 5, 2, 2, 3
-    locs = jnp.asarray(rs.rand(q, heads, L, K, 2).astype(np.float32))
+    locs = jnp.asarray(
+        (0.2 + 0.6 * rs.rand(q, heads, L, K, 2)).astype(np.float32))
     w = jax.nn.softmax(jnp.asarray(
         rs.randn(q, heads, L * K).astype(np.float32)), -1).reshape(
         q, heads, L, K)
     out = ms_deform_attn_sample(levels, locs, w)
     np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)
+
+
+def test_ms_deform_sample_zero_padding_at_border():
+    """grid_sample(padding_mode='zeros') semantics: a sample centered on the
+    image edge averages the in-range texel with zeros, halving the value."""
+    v = jnp.full((8, 8, 1, 1), 2.0)
+    # x = 0 normalized -> pixel coord -0.5: corners x=-1 (zero) and x=0
+    loc = jnp.asarray([[[[[0.0, (3 + 0.5) / 8]]]]])  # (1,1,1,1,2)
+    w = jnp.ones((1, 1, 1, 1))
+    out = ms_deform_attn_sample([v], loc, w)
+    np.testing.assert_allclose(float(out[0, 0, 0]), 1.0, atol=1e-5)
 
 
 def test_ms_deform_sample_reads_location():
