@@ -87,6 +87,72 @@ def ers_cls_mask_dense(cls_scores):
     return max_scores > mean + 2 * std
 
 
+def erd_distill_losses(anchors, s_cls, s_reg, t_cls, t_reg, cfg: ERDConfig,
+                       reg_max=16):
+    """ERD distillation terms for a batch, dense-masked (head :142-223).
+
+    Args:
+        anchors: (N, 4) anchor boxes of the bucket.
+        s_cls: (B, N, num_classes) student cls logits (flattened levels).
+        s_reg: (B, N, 4*(reg_max+1)) student distribution logits.
+        t_cls: (B, N, ori_num_classes) teacher cls logits.
+        t_reg: (B, N, 4*(reg_max+1)) teacher distribution logits.
+
+    Returns (loss_dist_cls, loss_dist_bbox), each (B,) per-image sums — the
+    caller applies dist_loss_weight and DDP-equivalent 1/num_devices scaling.
+
+    All selections are stop-gradient masks over the full anchor axis, so the
+    backward pass is elementwise; gathered formulations lower to serial
+    scatter while-loops on TPU (~66 ms/step measured, docs/ROUND1.md).
+    """
+    ori_c = cfg.ori_num_classes
+    centers = bbox_center(anchors)  # (N, 2) full-canvas frame
+
+    # ERS cls branch: dense mask (exact, uncapped). Reg branch: capped top-k
+    # because its NMS dedupe needs a bounded candidate set.
+    cls_mask_dense = jax.vmap(ers_cls_mask_dense)(t_cls)  # (B, N)
+
+    def _reg_select(r):
+        crit = r.max(axis=-1)
+        mean, std = masked_mean_std(crit, jnp.ones(crit.shape, bool))
+        return topk_mask_select(crit, cfg.ers_reg_cap, mean + 2 * std)
+
+    reg_idx, reg_mask = jax.vmap(_reg_select)(t_reg)
+
+    def distill_single(s_cls_i, s_reg_i, t_cls_i, t_reg_i, cmask, ri, rm):
+        # cls distill: mean-L2 over the mu+2sigma-selected rows of the
+        # old-class block (exact reference semantics, uncapped).
+        l_cls = l2_response_loss(s_cls_i[:, :ori_c], t_cls_i,
+                                 mask=cmask[:, None])
+
+        # reg distill: decode teacher boxes at ERS-reg anchors, dedupe
+        # with iou=0.005 NMS (on the bounded candidate set), scatter the
+        # kept-mask back to the dense axis, KD-KL everywhere weighted by
+        # the kept mask * detached student old-class confidence.
+        t_dist = integral(t_reg_i, reg_max)  # (N, 4)
+        t_boxes = distance2bbox(centers, t_dist)
+        t_conf = jax.nn.sigmoid(t_cls_i)
+        conf = t_conf.max(axis=-1)
+        ids = t_conf.argmax(axis=-1)
+        keep = batched_nms_mask(t_boxes[ri], conf[ri], ids[ri],
+                                cfg.distill_nms_iou, valid_mask=rm)
+        n = t_cls_i.shape[0]
+        kept_dense = jnp.zeros((n,), bool).at[ri].max(keep & rm)
+
+        w = jax.nn.sigmoid(
+            jax.lax.stop_gradient(s_cls_i[:, :ori_c])).max(axis=-1)
+        w = jnp.where(kept_dense, w, 0.0)  # (N,)
+        s_corners = s_reg_i.reshape(n * 4, reg_max + 1)
+        t_corners = t_reg_i.reshape(n * 4, reg_max + 1)
+        w4 = jnp.broadcast_to(w[:, None], (n, 4)).reshape(-1)
+        l_reg = knowledge_distillation_kl_div_loss(
+            s_corners, t_corners, weight=w4, T=cfg.ld_T, avg_factor=4.0)
+        return l_cls, cfg.ld_weight * l_reg
+
+    return jax.vmap(distill_single)(s_cls, s_reg, t_cls, t_reg,
+                                    cls_mask_dense, reg_idx, reg_mask)
+
+
 @dataclass
 class ERDDetector(GFLDetector):
     """Student detector + frozen teacher co-execution."""
@@ -129,18 +195,6 @@ class ERDDetector(GFLDetector):
         t_cls = jax.lax.stop_gradient(t_cls)
         t_reg = jax.lax.stop_gradient(t_reg)
 
-        # ERS selection per image (detector :143-200). The cls branch is a
-        # dense mask (exact, uncapped); the reg branch keeps a capped top-k
-        # because its NMS dedupe needs a bounded candidate set.
-        cls_mask_dense = jax.vmap(ers_cls_mask_dense)(t_cls)  # (B, N)
-
-        def _reg_select(r):
-            crit = r.max(axis=-1)
-            mean, std = masked_mean_std(crit, jnp.ones(crit.shape, bool))
-            return topk_mask_select(crit, cfg.ers_reg_cap, mean + 2 * std)
-
-        reg_idx, reg_mask = jax.vmap(_reg_select)(t_reg)
-
         # Student forward.
         s_cls_lvl, s_reg_lvl = self.forward_raw(variables, images)
         s_cls = flatten_levels(s_cls_lvl).astype(jnp.float32)  # (B, N, 80)
@@ -154,46 +208,9 @@ class ERDDetector(GFLDetector):
                           self.train_cfg, reg_max=self.reg_max)
 
         # ---- distillation (head :142-223), computed DENSELY ----
-        # All selections become stop-gradient masks over the full anchor
-        # axis, so the backward pass is elementwise; gathered formulations
-        # lower to serial scatter while-loops on TPU (~66 ms/step measured).
-        anchors = jnp.asarray(ctx.anchors)
-        centers = bbox_center(anchors)  # (N, 2) full-canvas frame
-
-        def distill_single(s_cls_i, s_reg_i, t_cls_i, t_reg_i, cmask, ri,
-                           rm):
-            # cls distill: mean-L2 over the mu+2sigma-selected rows of the
-            # old-class block (exact reference semantics, uncapped).
-            l_cls = l2_response_loss(s_cls_i[:, :ori_c], t_cls_i,
-                                     mask=cmask[:, None])
-
-            # reg distill: decode teacher boxes at ERS-reg anchors, dedupe
-            # with iou=0.005 NMS (on the bounded candidate set), scatter the
-            # kept-mask back to the dense axis, KD-KL everywhere weighted by
-            # the kept mask * detached student old-class confidence.
-            t_dist = integral(t_reg_i, self.reg_max)  # (N, 4)
-            t_boxes = distance2bbox(centers, t_dist)
-            t_conf = jax.nn.sigmoid(t_cls_i)
-            conf = t_conf.max(axis=-1)
-            ids = t_conf.argmax(axis=-1)
-            keep = batched_nms_mask(t_boxes[ri], conf[ri], ids[ri],
-                                    cfg.distill_nms_iou, valid_mask=rm)
-            n = t_cls_i.shape[0]
-            kept_dense = jnp.zeros((n,), bool).at[ri].max(keep & rm)
-
-            w = jax.nn.sigmoid(
-                jax.lax.stop_gradient(s_cls_i[:, :ori_c])).max(axis=-1)
-            w = jnp.where(kept_dense, w, 0.0)  # (N,)
-            s_corners = s_reg_i.reshape(n * 4, self.reg_max + 1)
-            t_corners = t_reg_i.reshape(n * 4, self.reg_max + 1)
-            w4 = jnp.broadcast_to(w[:, None], (n, 4)).reshape(-1)
-            l_reg = knowledge_distillation_kl_div_loss(
-                s_corners, t_corners, weight=w4, T=cfg.ld_T,
-                avg_factor=4.0)
-            return l_cls, cfg.ld_weight * l_reg
-
-        l_cls_i, l_reg_i = jax.vmap(distill_single)(
-            s_cls, s_reg, t_cls, t_reg, cls_mask_dense, reg_idx, reg_mask)
+        l_cls_i, l_reg_i = erd_distill_losses(
+            jnp.asarray(ctx.anchors), s_cls, s_reg, t_cls, t_reg, cfg,
+            reg_max=self.reg_max)
 
         # DDP-equivalent scaling of the per-image loss sums (see module doc).
         scale = cfg.dist_loss_weight / cfg.num_devices
