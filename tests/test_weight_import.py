@@ -101,3 +101,141 @@ def test_resnet50_parity_with_torch(h, w):
                                    atol=2e-2)
         denom = np.maximum(np.abs(want).mean(), 1e-3)
         assert np.abs(np.asarray(got) - want).mean() / denom < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Full mmdet GFL checkpoint import: backbone+neck+head key layout + forward
+# parity of the composed detector (VERDICT r1 #1.ii).
+# ---------------------------------------------------------------------------
+class _CM(tnn.Module):
+    """mmdet ConvModule with GN: .conv (no bias) + .gn, relu forward."""
+
+    def __init__(self, cin, cout, k=3, stride=1, groups=32):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, stride, k // 2, bias=False)
+        self.gn = tnn.GroupNorm(groups, cout)
+
+    def forward(self, x):
+        return torch.relu(self.gn(self.conv(x)))
+
+
+class _PlainConv(tnn.Module):
+    """mmdet FPN ConvModule without norm: .conv with bias, no activation."""
+
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, stride, k // 2)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Scale(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.scale = tnn.Parameter(torch.tensor(1.0))
+
+    def forward(self, x):
+        return x * self.scale
+
+
+class TorchFPN(tnn.Module):
+    """mmdet FPN, GFL config: start_level=1, on_output extras, num_outs=5."""
+
+    def __init__(self, in_ch=(512, 1024, 2048), out=256):
+        super().__init__()
+        self.lateral_convs = tnn.ModuleList(
+            [_PlainConv(c, out, 1) for c in in_ch])
+        self.fpn_convs = tnn.ModuleList(
+            [_PlainConv(out, out, 3) for _ in in_ch] +
+            [_PlainConv(out, out, 3, stride=2) for _ in range(2)])
+
+    def forward(self, feats):
+        lat = [l(f) for l, f in zip(self.lateral_convs, feats)]
+        for i in range(len(lat) - 1, 0, -1):
+            lat[i - 1] = lat[i - 1] + tnn.functional.interpolate(
+                lat[i], size=lat[i - 1].shape[-2:], mode='nearest')
+        outs = [self.fpn_convs[i](lat[i]) for i in range(len(lat))]
+        outs.append(self.fpn_convs[3](outs[-1]))
+        outs.append(self.fpn_convs[4](outs[-1]))
+        return outs
+
+
+class TorchGFLHead(tnn.Module):
+    def __init__(self, num_classes, ch=256, stacked=4, reg_max=16,
+                 levels=5):
+        super().__init__()
+        self.cls_convs = tnn.ModuleList(
+            [_CM(ch, ch) for _ in range(stacked)])
+        self.reg_convs = tnn.ModuleList(
+            [_CM(ch, ch) for _ in range(stacked)])
+        self.gfl_cls = tnn.Conv2d(ch, num_classes, 3, 1, 1)
+        self.gfl_reg = tnn.Conv2d(ch, 4 * (reg_max + 1), 3, 1, 1)
+        self.scales = tnn.ModuleList([_Scale() for _ in range(levels)])
+
+    def forward(self, feats):
+        cls_out, reg_out = [], []
+        for lvl, x in enumerate(feats):
+            c, r = x, x
+            for m in self.cls_convs:
+                c = m(c)
+            for m in self.reg_convs:
+                r = m(r)
+            cls_out.append(self.gfl_cls(c))
+            reg_out.append(self.scales[lvl](self.gfl_reg(r)))
+        return cls_out, reg_out
+
+
+class TorchGFL(tnn.Module):
+    def __init__(self, num_classes=8):
+        super().__init__()
+        self.backbone = TorchResNet50()
+        self.neck = TorchFPN()
+        self.bbox_head = TorchGFLHead(num_classes)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        return self.bbox_head(self.neck(feats[1:]))
+
+
+def test_full_mmdet_gfl_checkpoint_import_and_forward_parity():
+    """Import a synthetic state_dict with the exact mmdet GFL key layout
+    (backbone.* / neck.lateral_convs.* / neck.fpn_convs.* /
+    bbox_head.{cls,reg}_convs.*.{conv,gn}.* / bbox_head.gfl_{cls,reg}.* /
+    bbox_head.scales.*.scale) and assert the composed forward matches."""
+    from erd_tpu.models.detectors.single_stage import GFLNet
+    from erd_tpu.models.weight_import import load_mmdet_state_dict
+
+    torch.manual_seed(3)
+    C = 8
+    tm = TorchGFL(num_classes=C)
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+            if isinstance(m, (tnn.BatchNorm2d, tnn.GroupNorm)):
+                m.weight.normal_(1, 0.2)
+                m.bias.normal_(0, 0.2)
+        for s in tm.bbox_head.scales:
+            s.scale.uniform_(0.5, 2.0)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    net = GFLNet(num_classes=C)
+    x = np.random.RandomState(5).randn(1, 64, 96, 3).astype(np.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables, n = load_mmdet_state_dict(variables, state, strict=True)
+    assert n == len([k for k in state if 'num_batches' not in k])
+
+    cls_j, reg_j = jax.jit(net.apply)(variables, jnp.asarray(x))
+    with torch.no_grad():
+        cls_t, reg_t = tm(torch.as_tensor(x).permute(0, 3, 1, 2))
+    for got, want in zip(list(cls_j) + list(reg_j),
+                         [c.permute(0, 2, 3, 1).numpy() for c in cls_t] +
+                         [r.permute(0, 2, 3, 1).numpy() for r in reg_t]):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, rtol=5e-2,
+                                   atol=5e-2)
+        denom = np.maximum(np.abs(want).mean(), 1e-3)
+        assert np.abs(np.asarray(got) - want).mean() / denom < 5e-3
