@@ -167,11 +167,19 @@ class Trainer:
 
 
 def run_evaluation(detector, variables, loader, metric, max_batches=None):
-    """Test loop (tools/test.py analogue): predict -> accumulate -> compute."""
+    """Test loop (tools/test.py analogue): predict -> accumulate -> compute.
+
+    Detectors with a mask branch return (DetResults, masks); the masks ride
+    along to the metric for segm scoring.
+    """
     n = 0
     for epoch_batch in loader.epoch(0):
         res = detector.predict_jit(variables, epoch_batch)
-        metric.process_batch(res, epoch_batch['meta'])
+        if isinstance(res, tuple):
+            res, masks = res
+            metric.process_batch(res, epoch_batch['meta'], masks=masks)
+        else:
+            metric.process_batch(res, epoch_batch['meta'])
         n += 1
         if max_batches is not None and n >= max_batches:
             break

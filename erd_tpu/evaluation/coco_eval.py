@@ -52,32 +52,26 @@ class _ImgEval:
     n_gt: int                   # non-ignored gt count (for this area range)
 
 
-def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_crowd,
-                  area_rng, max_det):
-    """Greedy matching for one (img, cat, area-range); all IoU thrs at once."""
-    # area-range based gt ignoring (by the gt's own area)
-    if len(gt_boxes):
-        g_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
-            (gt_boxes[:, 3] - gt_boxes[:, 1])
-        gt_ig = gt_ignore | (g_area < area_rng[0]) | (g_area > area_rng[1])
-    else:
-        gt_ig = np.zeros((0,), bool)
+def _evaluate_img(dt_scores, ious, dt_areas, gt_areas, gt_ignore, gt_crowd,
+                  area_rng):
+    """Greedy matching for one (img, cat, area-range); all IoU thrs at once.
 
-    order = np.argsort(-dt_scores, kind='stable')[:max_det]
-    dt_boxes = dt_boxes[order]
-    dt_scores = dt_scores[order]
+    Detections arrive already score-sorted and maxDet-truncated, with
+    ``ious`` rows in that order; ``*_areas`` carry box areas for bbox eval
+    and mask pixel areas for segm eval (pycocotools uses the annotation
+    'area' field, which is the segmentation area).
+    """
+    gt_ig = gt_ignore | (gt_areas < area_rng[0]) | (gt_areas > area_rng[1])
 
     # sort gts: non-ignored first (stable) so matching prefers real gts
     g_order = np.argsort(gt_ig, kind='stable')
-    gt_boxes = gt_boxes[g_order]
     gt_ig = gt_ig[g_order]
     gt_crowd_s = gt_crowd[g_order]
-
-    ious = det_gt_iou(dt_boxes, gt_boxes, gt_crowd_s)
+    ious = ious[:, g_order]
 
     T = len(IOU_THRS)
-    D = len(dt_boxes)
-    G = len(gt_boxes)
+    D = len(dt_scores)
+    G = len(gt_ig)
     native = _greedy_match_native(
         IOU_THRS, ious.astype(np.float32), gt_ig.astype(np.uint8),
         gt_crowd_s.astype(np.uint8)) if D and G else None
@@ -107,9 +101,7 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_crowd,
                 dt_ig[ti, d] = gt_ig[best_g]
 
     # unmatched dets outside the area range are ignored, not false positives
-    d_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * \
-        (dt_boxes[:, 3] - dt_boxes[:, 1]) if D else np.zeros((0,))
-    out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+    out_of_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
     dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
 
     return _ImgEval(dt_scores=dt_scores, dt_matches=dtm, dt_ignore=dt_ig,
@@ -123,20 +115,33 @@ class DetectionResult:
     bboxes: np.ndarray  # (n, 4) xyxy, original-image frame
     scores: np.ndarray
     labels: np.ndarray
+    masks: Optional[list] = None  # per-det RLE dicts (segm metric only)
+
+
+def _box_areas(boxes):
+    if not len(boxes):
+        return np.zeros((0,))
+    return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
 
 class CocoMAPEvaluator:
     """Accumulates DetectionResult objects and computes COCO metrics.
 
     Args:
-        gt_records: iterable of data.coco.ImageRecord (ground truth).
+        gt_records: iterable of data.coco.ImageRecord (ground truth). For
+            ``metric='segm'`` the records must carry ``polygons`` (dataset
+            built with with_mask=True) and results must carry ``masks``.
         num_classes: contiguous label count.
         class_names: optional names for the classwise table.
+        metric: 'bbox' | 'segm' — matching IoU/areas use boxes or pasted
+            instance masks (coco_metric.py:86 metric choices).
     """
 
     def __init__(self, gt_records, num_classes, class_names=None,
                  area_ranges=('all', 'small', 'medium', 'large'),
-                 max_dets=MAX_DETS):
+                 max_dets=MAX_DETS, metric='bbox'):
+        assert metric in ('bbox', 'segm'), metric
+        self.metric = metric
         self.num_classes = num_classes
         self.class_names = class_names or [str(i)
                                            for i in range(num_classes)]
@@ -150,6 +155,14 @@ class CocoMAPEvaluator:
     def process(self, result: DetectionResult):
         self._results[result.img_id] = result
 
+    def _gt_rles(self, r):
+        """Rasterize one image's gt polygons into RLEs (segm metric)."""
+        from .mask_utils import polygons_to_bitmap, rle_encode
+        assert r.polygons is not None, (
+            'segm evaluation needs gt polygons (dataset with_mask=True)')
+        return [rle_encode(polygons_to_bitmap(p, r.height, r.width))
+                for p in r.polygons]
+
     def compute(self, classwise=False):
         img_ids = sorted(self.gt)
         K = self.num_classes
@@ -158,32 +171,51 @@ class CocoMAPEvaluator:
         max_det_eval = max(self.max_dets)
         evals: Dict[Tuple[int, str], List[_ImgEval]] = {
             (k, a): [] for k in range(K) for a in area_names}
-        gt_count = np.zeros((K,), np.int64)
+        segm = self.metric == 'segm'
+        if segm:
+            from .mask_utils import mask_iou, rle_area
 
         for img_id in img_ids:
             r = self.gt[img_id]
             det = self._results.get(img_id)
+            g_rles_all = self._gt_rles(r) if segm else None
             for k in range(K):
-                g_sel = r.labels == k
+                g_sel = np.nonzero(r.labels == k)[0]
                 gt_boxes = r.bboxes[g_sel]
                 gt_crowd = r.ignore[g_sel]
-                gt_count[k] += int((~gt_crowd).sum())
                 if det is None:
                     d_boxes = np.zeros((0, 4))
                     d_scores = np.zeros((0,))
+                    d_idx = np.zeros((0,), np.int64)
                 else:
-                    d_sel = det.labels == k
-                    d_boxes = det.bboxes[d_sel]
-                    d_scores = det.scores[d_sel]
+                    d_idx = np.nonzero(det.labels == k)[0]
+                    d_boxes = det.bboxes[d_idx]
+                    d_scores = det.scores[d_idx]
                 if len(gt_boxes) == 0 and len(d_boxes) == 0:
                     for a in area_names:
                         evals[(k, a)].append(None)
                     continue
+                # sort + truncate dets once; IoUs shared across area ranges
+                order = np.argsort(-d_scores, kind='stable')[:max_det_eval]
+                d_boxes = d_boxes[order]
+                d_scores = d_scores[order]
+                if segm:
+                    d_rles = [det.masks[i] for i in d_idx[order]] \
+                        if det is not None else []
+                    g_rles = [g_rles_all[i] for i in g_sel]
+                    ious = mask_iou(d_rles, g_rles, gt_crowd)
+                    d_areas = np.asarray([rle_area(x) for x in d_rles],
+                                         float)
+                    g_areas = np.asarray([rle_area(x) for x in g_rles],
+                                         float)
+                else:
+                    ious = det_gt_iou(d_boxes, gt_boxes, gt_crowd)
+                    d_areas = _box_areas(d_boxes)
+                    g_areas = _box_areas(gt_boxes)
                 for a in area_names:
                     evals[(k, a)].append(
-                        _evaluate_img(d_boxes, d_scores, gt_boxes, gt_crowd,
-                                      gt_crowd, AREA_RANGES[a],
-                                      max_det_eval))
+                        _evaluate_img(d_scores, ious, d_areas, g_areas,
+                                      gt_crowd, gt_crowd, AREA_RANGES[a]))
 
         T = len(IOU_THRS)
         R = len(RECALL_THRS)
@@ -247,16 +279,17 @@ class CocoMAPEvaluator:
             s = s[s > -1]
             return float(s.mean()) if s.size else -1.0
 
+        p = self.metric
         metrics = {
-            'bbox_mAP': _summarize(),
-            'bbox_mAP_50': _summarize(iou_thr=0.5),
-            'bbox_mAP_75': _summarize(iou_thr=0.75),
-            'bbox_mAP_s': _summarize(area='small'),
-            'bbox_mAP_m': _summarize(area='medium'),
-            'bbox_mAP_l': _summarize(area='large'),
-            'bbox_AR_1': _summarize(ap=False, max_det=1),
-            'bbox_AR_10': _summarize(ap=False, max_det=10),
-            'bbox_AR_100': _summarize(ap=False, max_det=100),
+            f'{p}_mAP': _summarize(),
+            f'{p}_mAP_50': _summarize(iou_thr=0.5),
+            f'{p}_mAP_75': _summarize(iou_thr=0.75),
+            f'{p}_mAP_s': _summarize(area='small'),
+            f'{p}_mAP_m': _summarize(area='medium'),
+            f'{p}_mAP_l': _summarize(area='large'),
+            f'{p}_AR_1': _summarize(ap=False, max_det=1),
+            f'{p}_AR_10': _summarize(ap=False, max_det=10),
+            f'{p}_AR_100': _summarize(ap=False, max_det=100),
         }
         if classwise:
             table = {}
