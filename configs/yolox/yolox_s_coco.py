@@ -1,5 +1,8 @@
 # YOLOX-s (reference configs/yolox/yolox_s_8xb8-300e_coco.py; SGD+EMA 300e
-# recipe there; schedule overridable).
+# recipe there; schedule overridable). Canonical strong-aug train pipeline:
+# Mosaic -> RandomAffine(border=-scale/2) -> MixUp -> YOLOXHSVRandomAug,
+# switched off for the last 15 epochs via PipelineSwitchHook
+# (reference yolox_mode_switch_hook.py / pipeline switching).
 _base_ = [
     '../_base_/datasets/coco_detection.py',
     '../_base_/schedules/schedule_1x.py',
@@ -9,6 +12,19 @@ model = dict(type='YOLOX', num_classes=80, compute_dtype='bfloat16',
              frozen_stages=-1,
              test_cfg=dict(score_thr=0.01, nms_iou_threshold=0.65,
                            max_per_img=100))
-train_dataloader = dict(pipeline=dict(scale=(640, 640)))
+train_dataloader = dict(pipeline=dict(
+    scale=(640, 640),
+    strong_aug=[
+        dict(type='Mosaic', img_scale=(640, 640)),
+        dict(type='RandomAffine', scaling_ratio_range=(0.1, 2.0),
+             border=(-320, -320)),
+        dict(type='MixUp', img_scale=(640, 640), ratio_range=(0.8, 1.6)),
+        dict(type='YOLOXHSVRandomAug'),
+    ]))
 val_dataloader = dict(pipeline=dict(scale=(640, 640)))
 test_dataloader = val_dataloader
+train_cfg = dict(epochs=300)
+custom_hooks = [
+    dict(type='PipelineSwitchHook', switch_epoch=285,
+         pipeline=dict(scale=(640, 640), flip_prob=0.5)),
+]

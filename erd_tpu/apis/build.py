@@ -40,6 +40,8 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         depth=model_cfg.get('depth', 50),
         compute_dtype=_DTYPES[model_cfg.get('compute_dtype', 'float32')],
     )
+    if model_cfg.get('dcn_stages'):
+        base['dcn_stages'] = tuple(model_cfg['dcn_stages'])
     test_cfg = GFLTestConfig(
         score_thr=test.get('score_thr', 0.05),
         nms_pre=test.get('nms_pre', 1000),
@@ -83,6 +85,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CascadeRCNN':
+        from ..models.detectors.cascade_rcnn import CascadeRCNNDetector
+        return CascadeRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'YOLOV3':
         base.pop('depth')
         return YOLOV3Detector(test_cfg=test_cfg, **base)
@@ -120,16 +125,41 @@ def build_dataset(cfg: Config, loader_cfg: Config,
         with_mask=ds_cfg.get('with_mask', False))
 
 
+def build_strong_aug(spec, dataset):
+    """[{'type': 'Mosaic', ...}, ...] -> tuple of transform callables."""
+    from ..data import strong_aug as sa
+    out = []
+    for item in spec:
+        item = dict(item)
+        cls = getattr(sa, item.pop('type'))
+        for key in ('img_scale', 'ratio_range', 'center_ratio_range',
+                    'scaling_ratio_range', 'border', 'crop_size',
+                    'contrast_range', 'saturation_range', 'min_ious',
+                    'mean', 'border_val'):
+            if key in item:
+                item[key] = tuple(item[key])
+        out.append(cls(**item))
+    return tuple(out)
+
+
 def build_loader(dataset, loader_cfg: Config, training=True,
                  seed=0) -> DetDataLoader:
+    from ..data.transforms import AugPipeline
     pipe_cfg = loader_cfg.get('pipeline', {})
     ms = pipe_cfg.get('ms_scales')
-    pipeline = DetPipeline(
+    kwargs = dict(
         scale=tuple(pipe_cfg.get('scale', (1333, 800))),
         flip_prob=pipe_cfg.get('flip_prob', 0.5 if training else 0.0),
         max_gt=pipe_cfg.get('max_gt', 100),
         training=training,
         ms_scales=tuple(tuple(s) for s in ms) if ms else None)
+    aug_spec = pipe_cfg.get('strong_aug') if training else None
+    if aug_spec:
+        pipeline = AugPipeline(
+            transforms=build_strong_aug(aug_spec, dataset),
+            dataset=dataset, **kwargs)
+    else:
+        pipeline = DetPipeline(**kwargs)
     return DetDataLoader(dataset, pipeline, LoaderConfig(
         batch_size=loader_cfg.get('batch_size', 16),
         num_workers=loader_cfg.get('num_workers', 8),
@@ -141,7 +171,8 @@ def build_loader(dataset, loader_cfg: Config, training=True,
 def build_metric(dataset, evaluator_cfg: Config) -> CocoMetric:
     return CocoMetric(dataset,
                       classwise=evaluator_cfg.get('classwise', False),
-                      outfile_prefix=evaluator_cfg.get('outfile_prefix'))
+                      outfile_prefix=evaluator_cfg.get('outfile_prefix'),
+                      metrics=evaluator_cfg.get('metric', ('bbox',)))
 
 
 def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
@@ -168,6 +199,34 @@ def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
                               cfg.get('experiment', 'exp')),
         ckpt_interval_epochs=cfg.get('ckpt_interval_epochs', 1),
         val_interval=cfg.train_cfg.get('val_interval', 1))
-    return Trainer(detector, train_loader, tc,
-                   teacher_variables=teacher_variables, mesh=mesh,
-                   val_fn=val_fn)
+    trainer = Trainer(detector, train_loader, tc,
+                      teacher_variables=teacher_variables, mesh=mesh,
+                      val_fn=val_fn)
+    for spec in cfg.get('custom_hooks', ()):
+        trainer.hooks.append(build_hook(spec, train_loader))
+    return trainer
+
+
+def build_hook(spec, train_loader):
+    """Config dict -> engine hook (custom_hooks analogue)."""
+    from ..engine.hooks import (MemoryReportHook, NumClassCheckHook,
+                                PipelineSwitchHook, SetEpochInfoHook)
+    spec = dict(spec)
+    kind = spec.pop('type')
+    if kind == 'PipelineSwitchHook':
+        # e.g. YOLOX: strong augs off for the last epochs
+        # (reference pipeline_switch_hook.py via num_last_epochs)
+        pipe = dict(spec.pop('pipeline', {}))
+        new_pipeline = DetPipeline(
+            scale=tuple(pipe.get('scale', train_loader.pipeline.scale)),
+            flip_prob=pipe.get('flip_prob', 0.5),
+            max_gt=pipe.get('max_gt', train_loader.pipeline.max_gt),
+            training=True)
+        return PipelineSwitchHook(spec['switch_epoch'], new_pipeline)
+    if kind == 'SetEpochInfoHook':
+        return SetEpochInfoHook()
+    if kind == 'NumClassCheckHook':
+        return NumClassCheckHook(**spec)
+    if kind == 'MemoryReportHook':
+        return MemoryReportHook(**spec)
+    raise KeyError(f'unknown custom hook {kind}')

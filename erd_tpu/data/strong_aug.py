@@ -1,0 +1,426 @@
+"""Strong train-time augmentations (host-side numpy, static-canvas friendly).
+
+Behavioural mirrors of the reference transforms
+(/root/reference/mmdet/datasets/transforms/transforms.py):
+
+  * Mosaic          (:2062) — 4-image 2x-canvas composite
+  * MixUp           (:2322) — YOLOX-style jitter/flip/crop 0.5-blend
+  * RandomAffine    (:2545) — rotate/scale/shear/translate warp
+  * RandomCrop      (:602)
+  * PhotoMetricDistortion (:892)
+  * Expand          (:1022)
+  * MinIoURandomCrop (:1146)
+  * YOLOXHSVRandomAug
+
+Differences from the reference, by design:
+  * every transform takes an explicit ``np.random.RandomState`` (the loader
+    derives one per (seed, epoch, index), so augmentation is reproducible
+    and independent of worker scheduling — the reference uses global
+    ``numpy.random`` state in worker processes);
+  * images are RGB throughout (the reference is BGR; the HSV round-trips
+    are color-space symmetric);
+  * multi-image transforms pull their extra images through a ``sampler``
+    callable instead of a MultiImageMixDataset wrapper.
+
+All of this runs on CPU workers ahead of the device step; the output still
+lands in one static canvas per orientation bucket so XLA never recompiles.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .transforms import resize_image
+
+
+@dataclass
+class Sample:
+    """One image + its box annotations, absolute pixel coords (xyxy)."""
+    img: np.ndarray      # (H, W, 3) uint8 RGB
+    boxes: np.ndarray    # (N, 4) float32
+    labels: np.ndarray   # (N,) int32
+    ignore: np.ndarray   # (N,) bool
+
+
+def _filter_inside(s: Sample, h, w, clip=True) -> Sample:
+    """Clip boxes to [0, w]x[0, h] and drop the ones fully outside."""
+    b = s.boxes.copy()
+    if clip:
+        b[:, 0::2] = b[:, 0::2].clip(0, w)
+        b[:, 1::2] = b[:, 1::2].clip(0, h)
+    inside = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+    return Sample(img=s.img, boxes=b[inside], labels=s.labels[inside],
+                  ignore=s.ignore[inside])
+
+
+# ---------------------------------------------------------------------------
+# Mosaic (transforms.py:2062)
+# ---------------------------------------------------------------------------
+@dataclass
+class Mosaic:
+    img_scale: Tuple[int, int] = (640, 640)   # (w, h), reference order
+    center_ratio_range: Tuple[float, float] = (0.5, 1.5)
+    pad_val: int = 114
+    prob: float = 1.0
+
+    def __call__(self, s: Sample, rng: np.random.RandomState,
+                 sampler: Callable[[np.random.RandomState], Sample]):
+        if rng.rand() > self.prob:
+            return s
+        sw, sh = self.img_scale
+        canvas = np.full((2 * sh, 2 * sw, 3), self.pad_val, np.uint8)
+        cx = int(rng.uniform(*self.center_ratio_range) * sw)
+        cy = int(rng.uniform(*self.center_ratio_range) * sh)
+        parts = [s] + [sampler(rng) for _ in range(3)]
+        all_boxes, all_labels, all_ignore = [], [], []
+        for loc, p in zip(('tl', 'tr', 'bl', 'br'), parts):
+            h_i, w_i = p.img.shape[:2]
+            r = min(sh / h_i, sw / w_i)
+            img_i = resize_image(p.img, (int(h_i * r), int(w_i * r)))
+            hi, wi = img_i.shape[:2]
+            if loc == 'tl':
+                x1, y1, x2, y2 = max(cx - wi, 0), max(cy - hi, 0), cx, cy
+                cx1, cy1 = wi - (x2 - x1), hi - (y2 - y1)
+            elif loc == 'tr':
+                x1, y1 = cx, max(cy - hi, 0)
+                x2, y2 = min(cx + wi, 2 * sw), cy
+                cx1, cy1 = 0, hi - (y2 - y1)
+            elif loc == 'bl':
+                x1, y1 = max(cx - wi, 0), cy
+                x2, y2 = cx, min(2 * sh, cy + hi)
+                cx1, cy1 = wi - (x2 - x1), 0
+            else:
+                x1, y1 = cx, cy
+                x2, y2 = min(cx + wi, 2 * sw), min(2 * sh, cy + hi)
+                cx1, cy1 = 0, 0
+            canvas[y1:y2, x1:x2] = img_i[cy1:cy1 + (y2 - y1),
+                                         cx1:cx1 + (x2 - x1)]
+            padw, padh = x1 - cx1, y1 - cy1
+            if len(p.boxes):
+                b = p.boxes * r
+                b[:, 0::2] += padw
+                b[:, 1::2] += padh
+                all_boxes.append(b)
+                all_labels.append(p.labels)
+                all_ignore.append(p.ignore)
+        boxes = (np.concatenate(all_boxes) if all_boxes
+                 else np.zeros((0, 4), np.float32))
+        labels = (np.concatenate(all_labels) if all_labels
+                  else np.zeros((0,), np.int32))
+        ignore = (np.concatenate(all_ignore) if all_ignore
+                  else np.zeros((0,), bool))
+        return _filter_inside(
+            Sample(canvas, boxes.astype(np.float32), labels, ignore),
+            2 * sh, 2 * sw)
+
+
+# ---------------------------------------------------------------------------
+# MixUp (transforms.py:2322)
+# ---------------------------------------------------------------------------
+@dataclass
+class MixUp:
+    img_scale: Tuple[int, int] = (640, 640)  # (w, h) dynamic scale
+    ratio_range: Tuple[float, float] = (0.5, 1.5)
+    flip_ratio: float = 0.5
+    pad_val: int = 114
+    max_iters: int = 15
+
+    def __call__(self, s: Sample, rng: np.random.RandomState,
+                 sampler: Callable[[np.random.RandomState], Sample]):
+        other = None
+        for _ in range(self.max_iters):
+            cand = sampler(rng)
+            if len(cand.boxes):
+                other = cand
+                break
+        if other is None:
+            return s
+        sw, sh = self.img_scale
+        jit = rng.uniform(*self.ratio_range)
+        do_flip = rng.uniform(0, 1) > self.flip_ratio
+
+        out = np.full((sh, sw, 3), self.pad_val, np.uint8)
+        r = min(sh / other.img.shape[0], sw / other.img.shape[1])
+        ri = resize_image(other.img, (int(other.img.shape[0] * r),
+                                      int(other.img.shape[1] * r)))
+        out[:ri.shape[0], :ri.shape[1]] = ri
+        scale_ratio = r * jit
+        out = resize_image(out, (int(out.shape[0] * jit),
+                                 int(out.shape[1] * jit)))
+        if do_flip:
+            out = out[:, ::-1]
+
+        oh, ow = out.shape[:2]
+        th, tw = s.img.shape[:2]
+        padded = np.full((max(oh, th), max(ow, tw), 3), self.pad_val,
+                         np.uint8)
+        padded[:oh, :ow] = out
+        yo = rng.randint(0, padded.shape[0] - th + 1)
+        xo = rng.randint(0, padded.shape[1] - tw + 1)
+        cropped = padded[yo:yo + th, xo:xo + tw]
+
+        b = other.boxes * scale_ratio
+        b[:, 0::2] = b[:, 0::2].clip(0, ow)
+        b[:, 1::2] = b[:, 1::2].clip(0, oh)
+        if do_flip:
+            flipped = b.copy()
+            flipped[:, 0] = ow - b[:, 2]
+            flipped[:, 2] = ow - b[:, 0]
+            b = flipped
+        b[:, 0::2] -= xo
+        b[:, 1::2] -= yo
+
+        img = (0.5 * s.img.astype(np.float32) +
+               0.5 * cropped.astype(np.float32)).astype(np.uint8)
+        merged = Sample(
+            img,
+            np.concatenate([s.boxes, b.astype(np.float32)]),
+            np.concatenate([s.labels, other.labels]),
+            np.concatenate([s.ignore, other.ignore]))
+        return _filter_inside(merged, th, tw)
+
+
+# ---------------------------------------------------------------------------
+# RandomAffine (transforms.py:2545)
+# ---------------------------------------------------------------------------
+@dataclass
+class RandomAffine:
+    max_rotate_degree: float = 10.0
+    max_translate_ratio: float = 0.1
+    scaling_ratio_range: Tuple[float, float] = (0.5, 1.5)
+    max_shear_degree: float = 2.0
+    border: Tuple[int, int] = (0, 0)   # (x, y); mosaic recipes use -scale/2
+    border_val: Tuple[int, int, int] = (114, 114, 114)
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        import cv2
+        h = s.img.shape[0] + self.border[1] * 2
+        w = s.img.shape[1] + self.border[0] * 2
+
+        rot = rng.uniform(-self.max_rotate_degree, self.max_rotate_degree)
+        a = np.deg2rad(rot)
+        rotation = np.array([[np.cos(a), -np.sin(a), 0],
+                             [np.sin(a), np.cos(a), 0], [0, 0, 1]],
+                            np.float32)
+        scale = rng.uniform(*self.scaling_ratio_range)
+        scaling = np.diag([scale, scale, 1]).astype(np.float32)
+        sx = np.tan(np.deg2rad(rng.uniform(-self.max_shear_degree,
+                                           self.max_shear_degree)))
+        sy = np.tan(np.deg2rad(rng.uniform(-self.max_shear_degree,
+                                           self.max_shear_degree)))
+        shear = np.array([[1, sx, 0], [sy, 1, 0], [0, 0, 1]], np.float32)
+        tx = rng.uniform(-self.max_translate_ratio,
+                         self.max_translate_ratio) * w
+        ty = rng.uniform(-self.max_translate_ratio,
+                         self.max_translate_ratio) * h
+        translate = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+        # reference order: T @ Shear @ R @ Scale, about the origin
+        # (transforms.py:2665-2666)
+        warp = translate @ shear @ rotation @ scaling
+        img = cv2.warpPerspective(s.img, warp, dsize=(w, h),
+                                  borderValue=self.border_val)
+
+        if len(s.boxes):
+            n = len(s.boxes)
+            corners = np.ones((n * 4, 3), np.float32)
+            corners[:, :2] = s.boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(
+                n * 4, 2)
+            warped = (warp @ corners.T).T
+            warped = warped[:, :2] / np.maximum(warped[:, 2:3], 1e-6)
+            xs = warped[:, 0].reshape(n, 4)
+            ys = warped[:, 1].reshape(n, 4)
+            boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)],
+                             -1).astype(np.float32)
+        else:
+            boxes = s.boxes
+        return _filter_inside(replace(s, img=img, boxes=boxes), h, w)
+
+
+# ---------------------------------------------------------------------------
+# RandomCrop (transforms.py:602)
+# ---------------------------------------------------------------------------
+@dataclass
+class RandomCrop:
+    crop_size: Tuple[int, int] = (640, 640)   # (w, h) reference order
+    crop_type: str = 'absolute'  # 'absolute' | 'relative' | *_range
+    allow_negative_crop: bool = False
+
+    def _size(self, h, w, rng):
+        cw, ch = self.crop_size
+        if self.crop_type == 'absolute':
+            return min(int(ch), h), min(int(cw), w)
+        if self.crop_type == 'absolute_range':
+            ch_ = rng.randint(min(h, int(self.crop_size[0])),
+                              min(h, int(self.crop_size[1])) + 1)
+            cw_ = rng.randint(min(w, int(self.crop_size[0])),
+                              min(w, int(self.crop_size[1])) + 1)
+            return ch_, cw_
+        if self.crop_type == 'relative':
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        # relative_range
+        scale_h = self.crop_size[1] + rng.rand() * (1 - self.crop_size[1])
+        scale_w = self.crop_size[0] + rng.rand() * (1 - self.crop_size[0])
+        return int(h * scale_h + 0.5), int(w * scale_w + 0.5)
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        h, w = s.img.shape[:2]
+        ch, cw = self._size(h, w, rng)
+        yo = rng.randint(0, max(h - ch, 0) + 1)
+        xo = rng.randint(0, max(w - cw, 0) + 1)
+        img = s.img[yo:yo + ch, xo:xo + cw]
+        b = s.boxes.copy()
+        b[:, 0::2] -= xo
+        b[:, 1::2] -= yo
+        out = _filter_inside(replace(s, img=img, boxes=b), ch, cw)
+        if len(out.boxes) == 0 and len(s.boxes) and \
+                not self.allow_negative_crop:
+            return s  # keep the uncropped sample rather than lose all gt
+        return out
+
+
+# ---------------------------------------------------------------------------
+# PhotoMetricDistortion (transforms.py:892)
+# ---------------------------------------------------------------------------
+@dataclass
+class PhotoMetricDistortion:
+    brightness_delta: int = 32
+    contrast_range: Tuple[float, float] = (0.5, 1.5)
+    saturation_range: Tuple[float, float] = (0.5, 1.5)
+    hue_delta: int = 18
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        import cv2
+        img = s.img.astype(np.float32)
+        mode = rng.randint(2)
+        if rng.randint(2):
+            img += rng.uniform(-self.brightness_delta, self.brightness_delta)
+        alpha = rng.uniform(*self.contrast_range)
+        contrast_flag = rng.randint(2)
+        if mode == 1 and contrast_flag:
+            img *= alpha
+        # float32 HSV: H in [0, 360], S in [0, 1]
+        hsv = cv2.cvtColor(img.clip(0, 255) / 255.0, cv2.COLOR_RGB2HSV)
+        if rng.randint(2):
+            sat = rng.uniform(*self.saturation_range)
+            hsv[..., 1] *= sat
+            if sat > 1:
+                hsv[..., 1] = hsv[..., 1].clip(0, 1)
+        if rng.randint(2):
+            hsv[..., 0] += rng.uniform(-self.hue_delta, self.hue_delta)
+            hsv[..., 0][hsv[..., 0] > 360] -= 360
+            hsv[..., 0][hsv[..., 0] < 0] += 360
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * 255.0
+        if mode == 0 and contrast_flag:
+            img *= alpha
+        if rng.randint(2):
+            img = img[..., rng.permutation(3)]
+        return replace(s, img=img.clip(0, 255).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# YOLOXHSVRandomAug
+# ---------------------------------------------------------------------------
+@dataclass
+class YOLOXHSVRandomAug:
+    hue_delta: int = 5
+    saturation_delta: int = 30
+    value_delta: int = 30
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        import cv2
+        dh = rng.uniform(-1, 1) * self.hue_delta
+        ds = rng.uniform(-1, 1) * self.saturation_delta
+        dv = rng.uniform(-1, 1) * self.value_delta
+        hsv = cv2.cvtColor(s.img, cv2.COLOR_RGB2HSV).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(dh)) % 180
+        hsv[..., 1] = (hsv[..., 1] + int(ds)).clip(0, 255)
+        hsv[..., 2] = (hsv[..., 2] + int(dv)).clip(0, 255)
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return replace(s, img=img)
+
+
+# ---------------------------------------------------------------------------
+# Expand (transforms.py:1022)
+# ---------------------------------------------------------------------------
+@dataclass
+class Expand:
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    ratio_range: Tuple[float, float] = (1.0, 4.0)
+    prob: float = 0.5
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        if rng.uniform(0, 1) > self.prob:
+            return s
+        h, w = s.img.shape[:2]
+        ratio = rng.uniform(*self.ratio_range)
+        nh, nw = int(h * ratio), int(w * ratio)
+        canvas = np.empty((nh, nw, 3), s.img.dtype)
+        canvas[...] = np.asarray(self.mean, s.img.dtype)
+        top = int(rng.uniform(0, nh - h))
+        left = int(rng.uniform(0, nw - w))
+        canvas[top:top + h, left:left + w] = s.img
+        b = s.boxes.copy()
+        b[:, 0::2] += left
+        b[:, 1::2] += top
+        return replace(s, img=canvas, boxes=b)
+
+
+# ---------------------------------------------------------------------------
+# MinIoURandomCrop (transforms.py:1146)
+# ---------------------------------------------------------------------------
+@dataclass
+class MinIoURandomCrop:
+    min_ious: Tuple[float, ...] = (0.1, 0.3, 0.5, 0.7, 0.9)
+    min_crop_size: float = 0.3
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        h, w = s.img.shape[:2]
+        sample_modes = (1, *self.min_ious, 0)
+        while True:
+            mode = sample_modes[rng.randint(len(sample_modes))]
+            if mode == 1:
+                return s
+            min_iou = mode
+            for _ in range(50):
+                new_w = rng.uniform(self.min_crop_size * w, w)
+                new_h = rng.uniform(self.min_crop_size * h, h)
+                if new_h / new_w < 0.5 or new_h / new_w > 2:
+                    continue
+                left = rng.uniform(0, w - new_w)
+                top = rng.uniform(0, h - new_h)
+                patch = np.array([int(left), int(top), int(left + new_w),
+                                  int(top + new_h)])
+                if patch[2] == patch[0] or patch[3] == patch[1]:
+                    continue
+                if len(s.boxes):
+                    lt = np.maximum(s.boxes[:, :2], patch[:2])
+                    rb = np.minimum(s.boxes[:, 2:], patch[2:])
+                    wh = (rb - lt).clip(0)
+                    inter = wh[:, 0] * wh[:, 1]
+                    area_b = ((s.boxes[:, 2] - s.boxes[:, 0]) *
+                              (s.boxes[:, 3] - s.boxes[:, 1]))
+                    area_p = (patch[2] - patch[0]) * (patch[3] - patch[1])
+                    ious = inter / np.maximum(
+                        area_b + area_p - inter, 1e-10)
+                    if len(ious) and ious.min() < min_iou:
+                        continue
+                    centers = (s.boxes[:, :2] + s.boxes[:, 2:]) / 2
+                    keep = ((centers[:, 0] > patch[0]) &
+                            (centers[:, 1] > patch[1]) &
+                            (centers[:, 0] < patch[2]) &
+                            (centers[:, 1] < patch[3]))
+                    if not keep.any():
+                        continue
+                    b = s.boxes[keep].copy()
+                    b[:, 0::2] = b[:, 0::2].clip(patch[0], patch[2])
+                    b[:, 1::2] = b[:, 1::2].clip(patch[1], patch[3])
+                    b[:, 0::2] -= patch[0]
+                    b[:, 1::2] -= patch[1]
+                    labels = s.labels[keep]
+                    ignore = s.ignore[keep]
+                else:
+                    b, labels, ignore = s.boxes, s.labels, s.ignore
+                img = s.img[patch[1]:patch[3], patch[0]:patch[2]]
+                return Sample(img, b.astype(np.float32), labels, ignore)

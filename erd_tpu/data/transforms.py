@@ -82,6 +82,13 @@ class DetPipeline:
                  rng: Optional[np.random.RandomState] = None,
                  image: Optional[np.ndarray] = None):
         img = image if image is not None else imread_rgb(record.path)
+        return self.pack(img, record.bboxes, record.labels, record.ignore,
+                         rng, record=record)
+
+    def pack(self, img, bboxes, labels, ignore, rng,
+             record: Optional[ImageRecord] = None):
+        """Resize/flip/bucket-pad an (img, boxes) pair into the static batch
+        layout. ``record`` supplies img_id and mask polygons when present."""
         ori_h, ori_w = img.shape[:2]
         scale = self.scale
         if self.training and self.ms_scales and rng is not None:
@@ -93,7 +100,7 @@ class DetPipeline:
         img = resize_image(img, (new_h, new_w))
         sx, sy = new_w / ori_w, new_h / ori_h
 
-        boxes = record.bboxes * np.array([sx, sy, sx, sy], np.float32)
+        boxes = bboxes * np.array([sx, sy, sx, sy], np.float32)
 
         flip = bool(self.training and rng is not None and
                     rng.rand() < self.flip_prob)
@@ -108,7 +115,7 @@ class DetPipeline:
         canvas[:new_h, :new_w] = img
 
         mask_crops = None
-        if record.polygons is not None:
+        if record is not None and record.polygons is not None:
             from .masks import polygons_to_boxmask
             # box-normalized crops are scale-invariant: rasterize from the
             # ORIGINAL polygons/boxes; a flip just mirrors the crop.
@@ -118,8 +125,56 @@ class DetPipeline:
             ]
             if flip:
                 mask_crops = [c[:, ::-1] for c in mask_crops]
-        gt = GTInstances.pad(boxes, record.labels, self.max_gt,
-                             ignore=record.ignore, masks=mask_crops)
+        gt = GTInstances.pad(boxes, labels, self.max_gt,
+                             ignore=ignore, masks=mask_crops)
         meta = ImageMeta.make((new_h, new_w), (ori_h, ori_w), (sx, sy),
-                              flip=flip, img_id=record.img_id)
+                              flip=flip,
+                              img_id=record.img_id if record else -1)
+        return canvas, gt, meta
+
+
+@dataclass
+class AugPipeline(DetPipeline):
+    """DetPipeline + strong-aug stages (Mosaic/MixUp/affine/crop/color).
+
+    ``transforms`` run on the decoded original-resolution sample BEFORE the
+    standard resize/flip/bucket-pad; multi-image transforms draw extra
+    images from ``dataset`` through the per-item RandomState, so epochs
+    remain deterministic. The final canvas stays static — strong-aug
+    recipes (YOLOX/RTMDet/SSD) therefore compile exactly like plain ones.
+
+    Mirrors the MultiImageMixDataset + transform-pipeline composition of
+    the reference (mmdet/datasets/transforms/transforms.py; dataset
+    wrapper mix_results protocol) without the wrapper indirection.
+    """
+    transforms: Tuple = ()
+    dataset: Optional[object] = None  # CocoDataset-like, for mix sampling
+
+    def _load_sample(self, record: ImageRecord,
+                     image: Optional[np.ndarray] = None):
+        from .strong_aug import Sample
+        img = image if image is not None else imread_rgb(record.path)
+        return Sample(img=img, boxes=record.bboxes.copy(),
+                      labels=record.labels.copy(),
+                      ignore=record.ignore.copy())
+
+    def __call__(self, record: ImageRecord,
+                 rng: Optional[np.random.RandomState] = None,
+                 image: Optional[np.ndarray] = None):
+        assert record.polygons is None, \
+            'strong augs + instance masks not supported yet'
+        rng = rng or np.random.RandomState(0)
+        sample = self._load_sample(record, image)
+
+        def sampler(r):
+            assert self.dataset is not None, \
+                'multi-image transforms need AugPipeline(dataset=...)'
+            idx = r.randint(len(self.dataset))
+            return self._load_sample(self.dataset[idx])
+
+        for t in self.transforms:
+            sample = t(sample, rng, sampler)
+        canvas, gt, meta = self.pack(sample.img, sample.boxes,
+                                     sample.labels, sample.ignore, rng)
+        meta = meta.replace(img_id=np.asarray(record.img_id, np.int32))
         return canvas, gt, meta
