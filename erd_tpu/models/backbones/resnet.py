@@ -27,11 +27,18 @@ ARCH_SETTINGS = {
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1 with identity/projection shortcut."""
+    """1x1 -> 3x3(stride) -> 1x1 with identity/projection shortcut.
+
+    ``dcn=True`` swaps the 3x3 for a (modulated) deformable conv — the
+    reference's dcn stage plugin (resnet.py:134; configs/gfl/README.md:22
+    r101-dcnv2 = 47.1 AP family).
+    """
     planes: int  # mid channels; out = planes * 4
     stride: int = 1
     downsample: bool = False
     dilation: int = 1
+    dcn: bool = False
+    dcn_modulated: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -40,10 +47,19 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
         y = FrozenBatchNorm(self.planes, name='bn1')(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=[torch_pad(3)] * 2,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, name='conv2')(y)
+        if self.dcn:
+            from ...ops.deform_conv import ModulatedDeformConv
+            y = ModulatedDeformConv(self.planes, kernel_size=3,
+                                    strides=self.stride,
+                                    dilation=self.dilation,
+                                    modulated=self.dcn_modulated,
+                                    name='conv2')(y)
+        else:
+            y = nn.Conv(self.planes, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=[torch_pad(3)] * 2,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, name='conv2')(y)
         y = FrozenBatchNorm(self.planes, name='bn2')(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name='conv3')(y)
@@ -95,6 +111,10 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    # per-stage deformable-conv plugin (reference dcn=dict(...),
+    # stage_with_dcn=(False, True, True, True) in the dcnv2 configs)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,9 +139,12 @@ class ResNet(nn.Module):
                 expansion = 4 if block_type == 'bottleneck' else 1
                 needs_ds = b == 0 and (stride != 1 or
                                        x.shape[-1] != planes * expansion)
+                kw = {}
+                if block_type == 'bottleneck' and self.dcn_stages[stage]:
+                    kw = dict(dcn=True, dcn_modulated=self.dcn_modulated)
                 x = block_cls(planes, stride=stride if b == 0 else 1,
                               downsample=needs_ds, dilation=dilation,
-                              name=f'layer{stage + 1}_block{b}')(x)
+                              name=f'layer{stage + 1}_block{b}', **kw)(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

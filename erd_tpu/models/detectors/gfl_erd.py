@@ -164,6 +164,7 @@ class ERDDetector(GFLDetector):
         self.teacher = GFLDetector(
             num_classes=self.erd.ori_num_classes, depth=self.depth,
             reg_max=self.reg_max, compute_dtype=self.compute_dtype,
+            dcn_stages=self.dcn_stages,
             preprocessor=self.preprocessor,
             anchor_generator=self.anchor_generator,
             train_cfg=self.train_cfg, test_cfg=self.test_cfg)
