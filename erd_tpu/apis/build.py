@@ -110,6 +110,18 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return DeformableDETRDetector(
             num_queries=model_cfg.get('num_queries', 300),
             max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'DINO':
+        from ..models.detectors.dino import DINODetector
+        return DINODetector(
+            num_queries=model_cfg.get('num_queries', 900),
+            max_per_img=test.get('max_per_img', 300), **base)
+    if mtype in ('ConditionalDETR', 'DABDETR'):
+        from ..models.detectors.conditional_dab_detr import (
+            ConditionalDETRDetector, DABDETRDetector)
+        cls = DABDETRDetector if mtype == 'DABDETR' else \
+            ConditionalDETRDetector
+        return cls(num_queries=model_cfg.get('num_queries', 300),
+                   max_per_img=test.get('max_per_img', 100), **base)
     raise KeyError(f'unknown model type {mtype}')
 
 
