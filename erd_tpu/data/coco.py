@@ -68,6 +68,10 @@ class ImageRecord:
     labels: np.ndarray    # (n,) int32 contiguous dataset labels
     ignore: np.ndarray    # (n,) bool (iscrowd or invalid)
     polygons: list = None  # optional per-instance segmentation polygons
+    # LVIS federated-annotation fields (lvis.py neg_category_ids /
+    # not_exhaustive_category_ids, as contiguous label sets); empty for COCO.
+    neg_labels: frozenset = frozenset()
+    not_exhaustive_labels: frozenset = frozenset()
 
 
 class CocoDataset:

@@ -28,6 +28,9 @@ class LVISDataset(CocoDataset):
         self.cat_ids = [c['id'] for c in cats]
         self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
         self.label_names = list(self.classes)
+        # LVIS v1 categories carry 'frequency' in {'r','c','f'} (rare /
+        # common / frequent); drives the APr/APc/APf groups of LVISEval.
+        self.frequencies = [c.get('frequency', 'f') for c in cats]
         self.test_mode = test_mode
         self.with_mask = False
         self.records = self._load()
@@ -61,6 +64,14 @@ class LVISDataset(CocoDataset):
                 width=img['width'], height=img['height'],
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int32),
-                ignore=np.asarray(ignore, bool)))
+                ignore=np.asarray(ignore, bool),
+                neg_labels=frozenset(
+                    self.cat2label[c]
+                    for c in img.get('neg_category_ids', [])
+                    if c in self.cat2label),
+                not_exhaustive_labels=frozenset(
+                    self.cat2label[c]
+                    for c in img.get('not_exhaustive_category_ids', [])
+                    if c in self.cat2label)))
         out.sort(key=lambda r: r.img_id)
         return out

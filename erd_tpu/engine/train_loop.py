@@ -166,15 +166,19 @@ class Trainer:
         return {'params': params, **consts}
 
 
-def run_evaluation(detector, variables, loader, metric, max_batches=None):
+def run_evaluation(detector, variables, loader, metric, max_batches=None,
+                   predict_fn=None):
     """Test loop (tools/test.py analogue): predict -> accumulate -> compute.
 
     Detectors with a mask branch return (DetResults, masks); the masks ride
-    along to the metric for segm scoring.
+    along to the metric for segm scoring. ``predict_fn(variables, batch)``
+    overrides the plain forward (e.g. models.tta.tta_predict_multiscale).
     """
+    if predict_fn is None:
+        predict_fn = detector.predict_jit
     n = 0
     for epoch_batch in loader.epoch(0):
-        res = detector.predict_jit(variables, epoch_batch)
+        res = predict_fn(variables, epoch_batch)
         if isinstance(res, tuple):
             res, masks = res
             metric.process_batch(res, epoch_batch['meta'], masks=masks)

@@ -53,7 +53,7 @@ class _ImgEval:
 
 
 def _evaluate_img(dt_scores, ious, dt_areas, gt_areas, gt_ignore, gt_crowd,
-                  area_rng):
+                  area_rng, dt_force_ignore=False):
     """Greedy matching for one (img, cat, area-range); all IoU thrs at once.
 
     Detections arrive already score-sorted and maxDet-truncated, with
@@ -100,9 +100,11 @@ def _evaluate_img(dt_scores, ious, dt_areas, gt_areas, gt_ignore, gt_crowd,
                 gtm[ti, best_g] = d + 1
                 dt_ig[ti, d] = gt_ig[best_g]
 
-    # unmatched dets outside the area range are ignored, not false positives
+    # unmatched dets outside the area range are ignored, not false
+    # positives; dt_force_ignore additionally ignores ALL unmatched dets
+    # (LVIS not-exhaustive-category semantics, lvis eval dt_ig_mask)
     out_of_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
-    dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
+    dt_ig = dt_ig | ((dtm == 0) & (out_of_rng | dt_force_ignore)[None, :])
 
     return _ImgEval(dt_scores=dt_scores, dt_matches=dtm, dt_ignore=dt_ig,
                     n_gt=int((~gt_ig).sum()))
@@ -180,6 +182,12 @@ class CocoMAPEvaluator:
             det = self._results.get(img_id)
             g_rles_all = self._gt_rles(r) if segm else None
             for k in range(K):
+                if self._pair_skip(r, k):
+                    # category not verified for this image (LVIS federated
+                    # protocol): dets neither reward nor penalize
+                    for a in area_names:
+                        evals[(k, a)].append(None)
+                    continue
                 g_sel = np.nonzero(r.labels == k)[0]
                 gt_boxes = r.bboxes[g_sel]
                 gt_crowd = r.ignore[g_sel]
@@ -212,10 +220,12 @@ class CocoMAPEvaluator:
                     ious = det_gt_iou(d_boxes, gt_boxes, gt_crowd)
                     d_areas = _box_areas(d_boxes)
                     g_areas = _box_areas(gt_boxes)
+                force_ig = self._dt_force_ignore(r, k)
                 for a in area_names:
                     evals[(k, a)].append(
                         _evaluate_img(d_scores, ious, d_areas, g_areas,
-                                      gt_crowd, gt_crowd, AREA_RANGES[a]))
+                                      gt_crowd, gt_crowd, AREA_RANGES[a],
+                                      dt_force_ignore=force_ig))
 
         T = len(IOU_THRS)
         R = len(RECALL_THRS)
@@ -265,39 +275,60 @@ class CocoMAPEvaluator:
                                 q[ri] = pr[pi]
                         precision[ti, :, ki, ai, mi] = q
 
-        def _summarize(ap=True, iou_thr=None, area='all', max_det=100):
-            ai = area_names.index(area)
-            mi = list(self.max_dets).index(max_det)
-            if ap:
-                s = precision[:, :, :, ai, mi]
-                if iou_thr is not None:
-                    s = s[np.where(IOU_THRS == iou_thr)[0]]
-            else:
-                s = recall[:, :, ai, mi]
-                if iou_thr is not None:
-                    s = s[np.where(IOU_THRS == iou_thr)[0]]
+        return self._build_metrics(precision, recall, area_names, classwise)
+
+    # --- hooks overridden by the LVIS evaluator (federated protocol) ---
+
+    def _pair_skip(self, record, label) -> bool:
+        """True to exclude this (image, category) pair from eval entirely."""
+        return False
+
+    def _dt_force_ignore(self, record, label) -> bool:
+        """True to ignore (not penalize) all unmatched dets of the pair."""
+        return False
+
+    def _summarize(self, precision, recall, area_names, ap=True,
+                   iou_thr=None, area='all', max_det=100):
+        ai = area_names.index(area)
+        mi = list(self.max_dets).index(max_det)
+        if ap:
+            s = precision[:, :, :, ai, mi]
+            if iou_thr is not None:
+                s = s[np.where(IOU_THRS == iou_thr)[0]]
+        else:
+            s = recall[:, :, ai, mi]
+            if iou_thr is not None:
+                s = s[np.where(IOU_THRS == iou_thr)[0]]
+        s = s[s > -1]
+        return float(s.mean()) if s.size else -1.0
+
+    def _classwise_table(self, precision, area_names, max_det):
+        table = {}
+        ai = area_names.index('all')
+        mi = list(self.max_dets).index(max_det)
+        for ki, name in enumerate(self.class_names):
+            s = precision[:, :, ki, ai, mi]
             s = s[s > -1]
-            return float(s.mean()) if s.size else -1.0
+            table[name] = float(s.mean()) if s.size else float('nan')
+        return table
+
+    def _build_metrics(self, precision, recall, area_names, classwise):
+        def s(**kw):
+            return self._summarize(precision, recall, area_names, **kw)
 
         p = self.metric
         metrics = {
-            f'{p}_mAP': _summarize(),
-            f'{p}_mAP_50': _summarize(iou_thr=0.5),
-            f'{p}_mAP_75': _summarize(iou_thr=0.75),
-            f'{p}_mAP_s': _summarize(area='small'),
-            f'{p}_mAP_m': _summarize(area='medium'),
-            f'{p}_mAP_l': _summarize(area='large'),
-            f'{p}_AR_1': _summarize(ap=False, max_det=1),
-            f'{p}_AR_10': _summarize(ap=False, max_det=10),
-            f'{p}_AR_100': _summarize(ap=False, max_det=100),
+            f'{p}_mAP': s(),
+            f'{p}_mAP_50': s(iou_thr=0.5),
+            f'{p}_mAP_75': s(iou_thr=0.75),
+            f'{p}_mAP_s': s(area='small'),
+            f'{p}_mAP_m': s(area='medium'),
+            f'{p}_mAP_l': s(area='large'),
+            f'{p}_AR_1': s(ap=False, max_det=1),
+            f'{p}_AR_10': s(ap=False, max_det=10),
+            f'{p}_AR_100': s(ap=False, max_det=100),
         }
         if classwise:
-            table = {}
-            ai = area_names.index('all')
-            mi = list(self.max_dets).index(100)
-            for ki, name in enumerate(self.class_names):
-                s = precision[:, :, ki, ai, mi]
-                s = s[s > -1]
-                table[name] = float(s.mean()) if s.size else float('nan')
-            metrics['classwise'] = table
+            metrics['classwise'] = self._classwise_table(
+                precision, area_names, 100)
         return metrics

@@ -1,12 +1,17 @@
-"""Test-time augmentation: horizontal-flip merge.
+"""Test-time augmentation: horizontal-flip and multi-scale merge.
 
 Mirrors the role of DetTTAModel
 (/root/reference/mmdet/models/test_time_augs/det_tta.py, wired by
-tools/test.py:93-126): run the detector on the original and h-flipped
-inputs, un-flip the flipped detections, concatenate and re-NMS. Implemented
-as a pure function over the fixed-size DetResults containers.
+tools/test.py:93-126): run the detector on augmented views (h-flip and/or
+rescaled canvases), map detections back to the original frame
+(merge_aug_bboxes, det_tta.py:53), concatenate and re-NMS. Implemented as
+pure functions over the fixed-size DetResults containers; each distinct
+scale compiles one extra detector variant (static canvas shapes).
 """
 from __future__ import annotations
+
+import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -73,3 +78,96 @@ def tta_predict(detector, variables, batch, iou_threshold=None,
         return jax.vmap(single)(res_a, res_b, ori_shapes)
 
     return merge(res_a, res_b, batch['meta'].ori_shape)
+
+
+@jax.jit
+def _flip_content(images, img_shapes):
+    """Flip each image's CONTENT region, leaving right padding in place."""
+
+    def single(img, shape):
+        w = shape[1].astype(jnp.int32)
+        width = img.shape[1]
+        x = jnp.arange(width)
+        src = jnp.where(x < w, jnp.clip(w - 1 - x, 0, width - 1), x)
+        return img[:, src]
+
+    return jax.vmap(single)(images, img_shapes)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _resize_canvas(images, h2, w2):
+    b, _, _, c = images.shape
+    return jax.image.resize(images, (b, h2, w2, c), 'bilinear')
+
+
+def _rescale_batch(batch, scale, divisor=32):
+    """Return a new batch with the padded canvas resized by ~``scale``.
+
+    The whole canvas is resized (content scales with it; padding stays at
+    high coordinates), canvas dims rounded up to ``divisor``. Metas are
+    updated with the EXACT realized per-axis factors so predictions still
+    rescale to the original frame.
+    """
+    images = batch['images']
+    _, h, w, _ = images.shape
+    h2 = int(math.ceil(h * scale / divisor) * divisor)
+    w2 = int(math.ceil(w * scale / divisor) * divisor)
+    sy, sx = h2 / h, w2 / w
+    meta = batch['meta']
+    out = dict(batch)
+    out['images'] = _resize_canvas(images, h2, w2)
+    out['meta'] = meta.replace(
+        img_shape=meta.img_shape * jnp.asarray([sy, sx],
+                                               meta.img_shape.dtype),
+        scale_factor=meta.scale_factor * jnp.asarray(
+            [sx, sy], meta.scale_factor.dtype))
+    return out
+
+
+@jax.jit
+def _unflip_results(res: DetResults, ori_shapes):
+    def single(r, ori):
+        return r.replace(bboxes=flip_boxes_h(r.bboxes, ori[1]))
+
+    return jax.vmap(single)(res, ori_shapes)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _merge_results(results, iou_threshold, max_per_img):
+    def single(*rs):
+        boxes = jnp.concatenate([r.bboxes for r in rs])
+        scores = jnp.concatenate([r.scores for r in rs])
+        labels = jnp.concatenate([r.labels for r in rs])
+        valid = jnp.concatenate([r.mask for r in rs])
+        ob, os_, ol, om = nms_select(boxes, scores, labels, iou_threshold,
+                                     max_per_img, valid_mask=valid)
+        return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
+
+    return jax.vmap(single)(*results)
+
+
+def tta_predict_multiscale(detector, variables, batch,
+                           scales=(0.75, 1.0, 1.25), flip=True,
+                           iou_threshold=None, max_per_img=None):
+    """Multi-scale (+flip) TTA: len(scales) * (1+flip) views, one re-NMS.
+
+    Detections from every view land in the original image frame (predict
+    divides by the per-view scale_factor), so the merge is a plain concat +
+    NMS as in merge_aug_bboxes (det_tta.py:53-76).
+    """
+    cfg = detector.test_cfg
+    iou_threshold = iou_threshold or cfg.iou_threshold
+    max_per_img = max_per_img or cfg.max_per_img
+
+    results = []
+    for s in scales:
+        b = _rescale_batch(batch, s) if s != 1.0 else batch
+        results.append(detector.predict_jit(variables, b))
+        if flip:
+            fb = dict(b)
+            fb['images'] = _flip_content(b['images'], b['meta'].img_shape)
+            res_f = detector.predict_jit(variables, fb)
+            results.append(_unflip_results(res_f,
+                                           batch['meta'].ori_shape))
+    return _merge_results(tuple(results), float(iou_threshold),
+                          int(max_per_img))

@@ -42,6 +42,24 @@ def test_tta_consistent_on_symmetric_input(small_det, small_vars):  # noqa: F811
         int(np.asarray(plain.mask).sum()) * 0  # runs; counts comparable
 
 
+def test_tta_multiscale_shapes(small_det, small_vars):  # noqa: F811
+    from erd_tpu.models.tta import _rescale_batch, tta_predict_multiscale
+    batch = make_batch()
+    res = tta_predict_multiscale(small_det, small_vars, batch,
+                                 scales=(0.75, 1.0), flip=True)
+    assert res.bboxes.shape == (2, 100, 4)
+    assert res.mask.dtype == bool
+    # rescaled canvas rounds up to the divisor; metas carry exact factors
+    b2 = _rescale_batch(batch, 0.75, divisor=32)
+    h, w = batch['images'].shape[1:3]
+    h2, w2 = b2['images'].shape[1:3]
+    assert h2 % 32 == 0 and w2 % 32 == 0 and h2 <= h and w2 <= w
+    np.testing.assert_allclose(
+        np.asarray(b2['meta'].scale_factor),
+        np.asarray(batch['meta'].scale_factor) * [w2 / w, h2 / h],
+        rtol=1e-6)
+
+
 def test_draw_detections():
     img = np.zeros((50, 80, 3), np.uint8)
     out = draw_detections(img, [[10, 10, 40, 40]], [0.9], [0],

@@ -17,7 +17,15 @@ def parse_args():
                    help='print per-category AP table')
     p.add_argument('--out-prefix', default=None,
                    help='dump COCO-format bbox json to <prefix>.bbox.json')
+    p.add_argument('--out-pkl', default=None,
+                   help='also dump raw predictions to a pickle '
+                        '(DumpDetResults analogue)')
     p.add_argument('--max-batches', type=int, default=None)
+    p.add_argument('--tta', action='store_true',
+                   help='flip test-time augmentation')
+    p.add_argument('--tta-scales', type=float, nargs='+', default=None,
+                   help='multi-scale TTA factors, e.g. 0.75 1.0 1.25 '
+                        '(implies --tta flip merge per scale)')
     return p.parse_args()
 
 
@@ -44,10 +52,32 @@ def main():
         ev_cfg['classwise'] = True
     if args.out_prefix:
         ev_cfg['outfile_prefix'] = args.out_prefix
-    metric = CocoMetric(ds, classwise=ev_cfg.get('classwise', False),
+    metric_cls = CocoMetric
+    if ev_cfg.get('type') == 'LVISMetric':
+        from erd_tpu.evaluation import LVISMetric
+        metric_cls = LVISMetric
+    metric = metric_cls(ds, classwise=ev_cfg.get('classwise', False),
                         outfile_prefix=ev_cfg.get('outfile_prefix'))
+
+    predict_fn = None
+    if args.tta or args.tta_scales:
+        from erd_tpu.models.tta import tta_predict_multiscale
+        scales = tuple(args.tta_scales or (1.0,))
+        logging.info(f'TTA on: scales={scales} + hflip')
+
+        def predict_fn(variables, batch):
+            return tta_predict_multiscale(detector, variables, batch,
+                                          scales=scales, flip=True)
+
     metrics = run_evaluation(detector, variables, loader, metric,
-                             max_batches=args.max_batches)
+                             max_batches=args.max_batches,
+                             predict_fn=predict_fn)
+    if args.out_pkl:
+        from erd_tpu.evaluation import DumpDetResults
+        dump = DumpDetResults(args.out_pkl)
+        run_evaluation(detector, variables, loader, dump,
+                       max_batches=args.max_batches, predict_fn=predict_fn)
+        logging.info(f'raw predictions dumped to {args.out_pkl}')
     for k, v in metrics.items():
         if isinstance(v, float):
             logging.info(f'{k}: {v:.4f}')
