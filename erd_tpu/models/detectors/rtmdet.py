@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..layers import cast_compute_params
 from ...losses import giou_loss, quality_focal_loss_tensor_target
 from ...ops import cap_candidates, filter_scores_and_topk, nms_select
 from ...structures import DetResults, distance2bbox
@@ -176,45 +177,68 @@ class RTMDetNet(nn.Module):
 
 def dynamic_soft_label_assign(points, strides, decoded, cls_probs,
                               gt_bboxes, gt_labels, gt_mask,
-                              topk=13, soft_weight=1.0, iou_weight=3.0):
+                              topk=13, iou_weight=3.0,
+                              soft_center_radius=3.0):
     """DynamicSoftLabelAssigner: SimOTA-style dynamic-k over soft-label cost.
 
-    cost = |p - iou|^2-scaled BCE(p, iou soft target) + 3 * (-log IoU),
-    candidates = priors whose center is inside the gt box.
+    Mirrors /root/reference/mmdet/models/task_modules/assigners/
+    dynamic_soft_label_assigner.py (differential-tested in
+    tests/test_assigner_oracle.py): candidates are priors strictly inside
+    ANY gt box (:126-131); every candidate competes for every gt with
+    cost = sum-over-classes |soft - p|^2-scaled BCE(p, soft), where
+    soft = onehot(gt) * IoU (:157-165), plus 3 * -log(IoU + 1e-7) and the
+    soft center prior 10^(center_dist/stride - 3) (:147-151); per-gt
+    dynamic-k = int(sum of top-13 candidate IoUs) >= 1; conflicts keep the
+    lowest-cost gt.
     """
     n = points.shape[0]
-    g = gt_bboxes.shape[0]
+    eps = 1e-7
     ious = bbox_overlaps(decoded, gt_bboxes)  # (N, G)
     x, y = points[:, 0:1], points[:, 1:2]
     inside = (x > gt_bboxes[None, :, 0]) & (x < gt_bboxes[None, :, 2]) & \
              (y > gt_bboxes[None, :, 1]) & (y < gt_bboxes[None, :, 3])
     inside = inside[:, 0] if inside.ndim == 3 else inside
-    valid = inside & gt_mask[None, :]
+    valid_prior = (inside & gt_mask[None, :]).any(axis=1)  # (N,)
+    live = valid_prior[:, None] & gt_mask[None, :]  # (N, G)
 
-    p = jnp.take_along_axis(
-        jnp.pad(cls_probs, ((0, 0), (0, 1))),
-        jnp.clip(gt_labels, 0, cls_probs.shape[1])[None, :].repeat(n, 0),
-        axis=1)  # (N, G)
-    soft = ious  # soft target = IoU
-    eps = 1e-8
-    bce = -(soft * jnp.log(p + eps) + (1 - soft) * jnp.log(1 - p + eps))
-    cls_cost = bce * jnp.power(jnp.abs(soft - p), 2.0)
-    cost = soft_weight * cls_cost + \
-        iou_weight * (-jnp.log(jnp.clip(ious, eps, None)))
-    cost = jnp.where(valid, cost, INF)
+    # soft center prior: 10^(dist(prior, gt center)/stride - radius);
+    # exponent clipped so far pairs stay finite and ordered below the
+    # non-candidate sentinel
+    gt_c = (gt_bboxes[:, :2] + gt_bboxes[:, 2:]) / 2.0  # (G, 2)
+    dist = jnp.sqrt(((points[:, None, :] - gt_c[None, :, :]) ** 2
+                     ).sum(-1)) / jnp.maximum(strides[:, None], 1e-6)
+    center_prior = 10.0 ** jnp.minimum(dist - soft_center_radius, 30.0)
+
+    # cls cost summed over ALL classes with soft target onehot*iou: the
+    # non-gt classes contribute p^2 * -log(1-p) independent of the gt
+    p = jnp.clip(cls_probs, 0.0, 1.0)  # (N, C)
+    neg_term = (p ** 2) * (-jnp.log(1.0 - p + 1e-12))  # (N, C)
+    gl = jnp.clip(gt_labels, 0, cls_probs.shape[1] - 1)  # (G,)
+    p_g = p[:, gl]  # (N, G)
+    t = ious
+    bce_pos = -(t * jnp.log(p_g + 1e-12) +
+                (1.0 - t) * jnp.log(1.0 - p_g + 1e-12))
+    cls_cost = (neg_term.sum(-1)[:, None] - neg_term[:, gl] +
+                bce_pos * jnp.abs(t - p_g) ** 2.0)
+
+    cost = cls_cost + iou_weight * (-jnp.log(ious + eps)) + center_prior
+    cost = jnp.where(live, cost, 1e38)
 
     k = min(topk, n)
-    topk_ious, _ = jax.lax.top_k(jnp.where(valid, ious, 0.0).T, k)
+    topk_ious, _ = jax.lax.top_k(jnp.where(live, ious, 0.0).T, k)
     dynamic_k = jnp.clip(topk_ious.sum(axis=1).astype(jnp.int32), 1, None)
     order = jnp.argsort(cost.T, axis=1)
     ranks = jax.vmap(lambda o: jnp.zeros((n,), jnp.int32).at[o].set(
         jnp.arange(n, dtype=jnp.int32)))(order)
-    chosen = (ranks < dynamic_k[:, None]).T & valid
+    # dynamic_k <= num_valid, so rank < dynamic_k always lands on live
+    # entries for live gt columns; the & live kills padded-gt columns
+    chosen = (ranks < dynamic_k[:, None]).T & live
 
-    cost_sel = jnp.where(chosen, cost, INF)
-    best = cost_sel.min(axis=1)
+    # chosen costs can exceed any fixed sentinel smaller than the live
+    # mask's (center prior reaches 1e30), so flag positives off the mask
+    cost_sel = jnp.where(chosen, cost, 1e38)
     gt_idx = cost_sel.argmin(axis=1).astype(jnp.int32)
-    pos = best < INF
+    pos = chosen.any(axis=1)
     return pos, gt_idx, ious
 
 
@@ -248,7 +272,8 @@ class RTMDetDetector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def _flatten(self, cls_lvl, reg_lvl):
         b = cls_lvl[0].shape[0]
@@ -268,7 +293,7 @@ class RTMDetDetector:
         images = batch['images']
         ctx = self.context(images.shape[1:3])
         (cls_lvl, reg_lvl), new_state = self.net.apply(
-            variables, self.preprocessor(images), train=True,
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images), train=True,
             mutable=['batch_stats'])
         cls, reg = self._flatten(cls_lvl, reg_lvl)
         boxes = self._decode(ctx, reg)

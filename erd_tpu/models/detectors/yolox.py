@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..layers import cast_compute_params
 from ...losses import binary_cross_entropy_with_logits, iou_loss
 from ...ops import cap_candidates, filter_scores_and_topk, nms_select
 from ...structures import DetResults
@@ -165,7 +166,8 @@ class YOLOXDetector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def _flatten(self, preds_lvl):
         b = preds_lvl[0].shape[0]
@@ -176,7 +178,7 @@ class YOLOXDetector:
         images = batch['images']
         ctx = self.context(images.shape[1:3])
         preds_lvl, new_state = self.net.apply(
-            variables, self.preprocessor(images), train=True,
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images), train=True,
             mutable=['batch_stats'])
         preds = self._flatten(preds_lvl)
         boxes, obj_p, cls_p = yolox_decode(ctx, preds)
@@ -184,10 +186,12 @@ class YOLOXDetector:
         strides = jnp.asarray(ctx.strides)
         gt = batch['gt']
 
-        def single(pred_i, boxes_i, cls_p_i, gt_b, gt_l, gt_m):
+        def single(pred_i, boxes_i, score_i, gt_b, gt_l, gt_m):
+            # assignment scores are cls_prob * objectness (yolox_head.py:582
+            # feeds sqrt(cls*obj); the sqrt lives inside sim_ota_assign)
             res = sim_ota_assign(pts, strides,
                                  jax.lax.stop_gradient(boxes_i),
-                                 jax.lax.stop_gradient(cls_p_i),
+                                 jax.lax.stop_gradient(score_i),
                                  gt_b, gt_l, gt_m)
             pos = res.pos_mask
             n_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
@@ -212,7 +216,8 @@ class YOLOXDetector:
             return l_cls, l_obj, l_box
 
         l_cls, l_obj, l_box = jax.vmap(single)(
-            preds, boxes, cls_p, gt.bboxes, gt.labels, gt.mask)
+            preds, boxes, cls_p * obj_p[..., None], gt.bboxes, gt.labels,
+            gt.mask)
         losses = dict(loss_cls=l_cls.mean(), loss_obj=l_obj.mean(),
                       loss_bbox=l_box.mean())
         consts = {k: v for k, v in variables.items() if k != 'params'}

@@ -1,12 +1,20 @@
 """SimOTA assigner (YOLOX/RTMDet family), static-shape.
 
 Behavioural mirror of /root/reference/mmdet/models/task_modules/assigners/
-sim_ota_assigner.py: candidates are priors whose center lies in a gt box or
-its center region; cost = cls BCE-focal-ish cost + lambda * (-log IoU) +
-out-of-candidate penalty; per-gt dynamic-k = sum of top-10 IoUs (>=1);
-each gt takes its top-k lowest-cost candidates; conflicts resolve to the
-lowest-cost gt. All dynamic counts become masks; the per-gt top-k is a
-static top-k with rank < dynamic_k masking.
+sim_ota_assigner.py (differential-tested against a line-faithful torch
+oracle in tests/test_assigner_oracle.py):
+
+* a prior is a *candidate* if its center lies strictly inside ANY gt box or
+  ANY center region (union over gts, :143-190) — candidates then compete
+  for every gt, with a flat 100000 penalty when not inside that specific
+  gt's box AND center (:125-128);
+* cost = sum-over-classes BCE(sqrt(scores), onehot) + 3 * -log(IoU + 1e-7);
+* per-gt dynamic-k = int(sum of the top-10 candidate IoUs), clamped >= 1
+  (:198-204), then each gt takes its dynamic-k lowest-cost candidates;
+* a prior matched to several gts keeps the lowest-cost one (:208-212).
+
+All dynamic counts become masks; the per-gt top-k is a static rank
+comparison against dynamic_k.
 """
 from __future__ import annotations
 
@@ -17,6 +25,8 @@ from ..structures.boxes import bbox_overlaps
 from .atss import AssignResult
 
 INF = 1e8
+_PENALTY = 100000.0  # reference INF (sim_ota_assigner.py:24)
+_EPS = 1e-7
 
 
 def sim_ota_assign(priors_xy, strides, decoded_boxes, cls_scores, gt_bboxes,
@@ -34,53 +44,60 @@ def sim_ota_assign(priors_xy, strides, decoded_boxes, cls_scores, gt_bboxes,
     n = priors_xy.shape[0]
     g = gt_bboxes.shape[0]
 
-    # candidate mask: center in gt box OR in the center_radius*stride region
+    # strict containment, mirroring deltas.min > 0 (:155-161)
     x, y = priors_xy[:, 0:1], priors_xy[:, 1:2]
-    in_box = (x >= gt_bboxes[None, :, 0]) & (x <= gt_bboxes[None, :, 2]) & \
-             (y >= gt_bboxes[None, :, 1]) & (y <= gt_bboxes[None, :, 3])
+    in_box = (x > gt_bboxes[None, :, 0]) & (x < gt_bboxes[None, :, 2]) & \
+             (y > gt_bboxes[None, :, 1]) & (y < gt_bboxes[None, :, 3])
     in_box = in_box[:, 0] if in_box.ndim == 3 else in_box
     cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
     cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
     r = center_radius * strides[:, None]
-    in_center = (x >= cx[None, :] - r) & (x <= cx[None, :] + r) & \
-                (y >= cy[None, :] - r) & (y <= cy[None, :] + r)
+    in_center = (x > cx[None, :] - r) & (x < cx[None, :] + r) & \
+                (y > cy[None, :] - r) & (y < cy[None, :] + r)
     in_center = in_center[:, 0] if in_center.ndim == 3 else in_center
-    valid = (in_box | in_center) & gt_mask[None, :]
+    pair_ok = (in_box | in_center) & gt_mask[None, :]
+    # candidate priors: inside ANY gt box or center region (:186)
+    valid_prior = pair_ok.any(axis=1)
     in_both = in_box & in_center
 
+    live = valid_prior[:, None] & gt_mask[None, :]  # (N, G)
     ious = bbox_overlaps(decoded_boxes, gt_bboxes)  # (N, G)
-    iou_cost = -jnp.log(jnp.clip(ious, 1e-8, None))
-    # Reference cls cost (sim_ota_assigner.py): BCE(sqrt(scores), onehot)
-    # summed over ALL classes — confident wrong-class predictions are
-    # penalized too. For gt class g:
+    iou_cost = -jnp.log(ious + _EPS)
+    # cls cost (:117-124): BCE(sqrt(scores), onehot) summed over ALL
+    # classes — confident wrong-class predictions are penalized too.
+    # For gt class g:
     #   cost = sum_c -log(1 - sqrt(p_c)) + log(1 - sqrt(p_g)) - log(sqrt(p_g))
     s = jnp.sqrt(jnp.clip(cls_scores, 0.0, 1.0))  # (N, C)
-    log_s = jnp.log(jnp.clip(s, 1e-8, None))
-    log_1ms = jnp.log(jnp.clip(1.0 - s, 1e-8, None))
+    log_s = jnp.log(jnp.clip(s, 1e-12, None))
+    log_1ms = jnp.log(jnp.clip(1.0 - s, 1e-12, None))
     gl = jnp.clip(gt_labels, 0, cls_scores.shape[1] - 1)  # (G,)
     cls_cost = -log_1ms.sum(-1)[:, None] + (log_1ms - log_s)[:, gl]  # (N, G)
     cost = cls_weight * cls_cost + iou_weight * iou_cost + \
-        jnp.where(in_both, 0.0, 100000.0)
-    cost = jnp.where(valid, cost, INF)
+        jnp.where(in_both, 0.0, _PENALTY)
+    cost = jnp.where(live, cost, INF)
 
-    # dynamic k per gt: sum of top-10 candidate IoUs, clamped >= 1
+    # dynamic k per gt: int(sum of top-10 candidate IoUs), >= 1. Zero
+    # padding stands in for "top min(10, num_valid) rows" — IoUs are
+    # non-negative, so the sums agree.
     k = min(candidate_topk, n)
-    topk_ious, _ = jax.lax.top_k(jnp.where(valid, ious, 0.0).T, k)  # (G, k)
+    topk_ious, _ = jax.lax.top_k(jnp.where(live, ious, 0.0).T, k)  # (G, k)
     dynamic_k = jnp.clip(topk_ious.sum(axis=1).astype(jnp.int32), 1, None)
 
-    # per-gt: mark the dynamic_k lowest-cost candidates
+    # per-gt: mark the dynamic_k lowest-cost candidates. Penalized
+    # (not-in-both) candidates stay selectable, exactly like the
+    # reference's topk over the full cost column; INF rows (non-candidate
+    # priors, padded gts) never make rank < dynamic_k <= num_valid.
     order = jnp.argsort(cost.T, axis=1)  # (G, N) ascending cost
-    ranks = jnp.zeros((g, n), jnp.int32)
     ranks = jax.vmap(lambda o: jnp.zeros((n,), jnp.int32).at[o].set(
         jnp.arange(n, dtype=jnp.int32)))(order)
-    chosen = (ranks < dynamic_k[:, None]).T & valid  # (N, G)
+    chosen = (ranks < dynamic_k[:, None]).T & (cost < INF / 2)  # (N, G)
 
     # conflict resolution: a prior assigned to multiple gts keeps the
     # lowest-cost one
     cost_sel = jnp.where(chosen, cost, INF)
     best_cost = cost_sel.min(axis=1)
     gt_idx = cost_sel.argmin(axis=1).astype(jnp.int32)
-    pos_mask = best_cost < INF
+    pos_mask = best_cost < INF / 2
 
     labels = jnp.where(pos_mask, gt_labels[gt_idx], -1).astype(jnp.int32)
     max_overlaps = jnp.where(pos_mask,
