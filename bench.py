@@ -42,7 +42,9 @@ def main():
 
     b = _make_batch(det, batch, h, w)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         def loss_fn(p):
             losses = det.loss({'params': p, **consts}, batch,

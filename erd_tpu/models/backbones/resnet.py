@@ -44,7 +44,8 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         out_ch = self.planes * 4
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=x.dtype,
+                    name='conv1')(x)
         y = FrozenBatchNorm(self.planes, name='bn1')(y)
         y = nn.relu(y)
         if self.dcn:
@@ -59,15 +60,17 @@ class Bottleneck(nn.Module):
                         strides=(self.stride, self.stride),
                         padding=[torch_pad(3)] * 2,
                         kernel_dilation=(self.dilation, self.dilation),
-                        use_bias=False, name='conv2')(y)
+                        use_bias=False, dtype=y.dtype, name='conv2')(y)
         y = FrozenBatchNorm(self.planes, name='bn2')(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name='conv3')(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=y.dtype,
+                    name='conv3')(y)
         y = FrozenBatchNorm(out_ch, name='bn3')(y)
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv')(x)
+                               use_bias=False, dtype=x.dtype,
+                               name='downsample_conv')(x)
             identity = FrozenBatchNorm(out_ch, name='downsample_bn')(identity)
         return nn.relu(y + identity)
 
@@ -83,16 +86,17 @@ class BasicBlock(nn.Module):
         identity = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=[torch_pad(3)] * 2, use_bias=False,
-                    name='conv1')(x)
+                    dtype=x.dtype, name='conv1')(x)
         y = FrozenBatchNorm(self.planes, name='bn1')(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=[torch_pad(3)] * 2,
-                    use_bias=False, name='conv2')(y)
+                    use_bias=False, dtype=y.dtype, name='conv2')(y)
         y = FrozenBatchNorm(self.planes, name='bn2')(y)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv')(x)
+                               use_bias=False, dtype=x.dtype,
+                               name='downsample_conv')(x)
             identity = FrozenBatchNorm(self.planes,
                                        name='downsample_bn')(identity)
         return nn.relu(y + identity)
@@ -125,7 +129,7 @@ class ResNet(nn.Module):
 
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
                     padding=[torch_pad(7)] * 2, use_bias=False,
-                    name='stem_conv')(x)
+                    dtype=x.dtype, name='stem_conv')(x)
         x = FrozenBatchNorm(self.base_channels, name='stem_bn')(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)

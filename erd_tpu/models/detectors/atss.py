@@ -8,6 +8,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...task import AnchorGenerator
 from ...task.coder import DeltaXYWHBBoxCoder
 from ..backbones.resnet import ResNet
@@ -67,7 +68,8 @@ class ATSSDetector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss(self, variables, batch):
         images = batch['images']

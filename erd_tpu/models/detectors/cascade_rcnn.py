@@ -21,6 +21,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...ops import nms_select
 from ...ops.misc import cap_candidates
 from ...ops.roi_align import multilevel_roi_align
@@ -135,7 +136,7 @@ class CascadeRCNNDetector(FasterRCNNDetector):
             s = samples.rois.shape[1]
             roi_feats = self._roi_feats(feats, samples.rois)
             cls_logits, reg_preds = self.net.apply(
-                variables, roi_feats.reshape(b * s, 7, 7, -1), stage,
+                cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * s, 7, 7, -1), stage,
                 method=CascadeRCNNNet.roi_forward_stage)
             cls_logits = cls_logits.astype(jnp.float32)
             reg_preds = reg_preds.astype(jnp.float32)
@@ -171,7 +172,7 @@ class CascadeRCNNDetector(FasterRCNNDetector):
         for stage in range(self.num_stages):
             roi_feats = self._roi_feats(feats, rois)
             cls_logits, reg_preds = self.net.apply(
-                variables, roi_feats.reshape(b * p, 7, 7, -1), stage,
+                cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * p, 7, 7, -1), stage,
                 method=CascadeRCNNNet.roi_forward_stage)
             cls_logits = cls_logits.astype(jnp.float32).reshape(b, p, -1)
             reg_preds = reg_preds.astype(jnp.float32).reshape(b, p, 4)

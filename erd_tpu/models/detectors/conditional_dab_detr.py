@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...structures import DetResults
 from ...structures.boxes import scale_boxes
 from ..backbones.resnet import ResNet
@@ -247,7 +248,8 @@ class ConditionalDETRDetector:
     def forward_raw(self, variables, images, valid_mask=None):
         if valid_mask is None:
             valid_mask = jnp.ones(images.shape[:3], bool)
-        return self.net.apply(variables, self.preprocessor(images),
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images),
                               valid_mask)
 
     def loss(self, variables, batch):

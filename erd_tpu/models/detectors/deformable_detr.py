@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ..backbones.resnet import ResNet
 from ..heads.deformable_detr_head import (DeformableDETRHeadNet,
                                           DeformableDETRTrainConfig,
@@ -75,7 +76,8 @@ class DeformableDETRDetector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss(self, variables, batch):
         images = batch['images']

@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ..backbones.resnet import ResNet
 from ..heads.detr_head import (DETRHeadNet, DETRTrainConfig, detr_loss,
                                detr_predict)
@@ -79,7 +80,8 @@ class DETRDetector:
                 jnp.asarray([images.shape[1], images.shape[2]],
                             jnp.float32), (images.shape[0], 1))
         mask = self._valid_mask(images, img_shapes)
-        return self.net.apply(variables, self.preprocessor(images), mask)
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images), mask)
 
     def loss(self, variables, batch):
         images = batch['images']

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...structures import DetResults
 from ...structures.boxes import scale_boxes
 from ..backbones.resnet import ResNet
@@ -83,7 +84,8 @@ class DINODetector:
                                       dn_labels, dn_boxes, mask)
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss(self, variables, batch):
         images = batch['images']
@@ -101,7 +103,8 @@ class DINODetector:
             box_noise_scale=self.train_cfg.box_noise_scale)
         attn_mask = make_dn_attn_mask(dn_labels.shape[1], self.num_queries,
                                       self.train_cfg.dn_groups)
-        outs = self.net.apply(variables, self.preprocessor(images),
+        outs = self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images),
                               dn_labels, dn_boxes, attn_mask)
         outs = jax.tree.map(
             lambda x: x.astype(jnp.float32)

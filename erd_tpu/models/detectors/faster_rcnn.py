@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...ops.roi_align import multilevel_roi_align
 from ...structures import DetResults
 from ...task.coder import DeltaXYWHBBoxCoder
@@ -109,13 +110,16 @@ class FasterRCNNDetector:
 
     def forward_raw(self, variables, images):
         """mode='tensor': (rpn outputs, dummy-roi head outputs)."""
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     # ------------------------------------------------------------------
     def _feats_and_rpn(self, variables, images):
-        feats = self.net.apply(variables, self.preprocessor(images),
+        feats = self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images),
                                method=FasterRCNNNet.extract_feat)
-        rpn_cls, rpn_reg = self.net.apply(variables, feats,
+        rpn_cls, rpn_reg = self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), feats,
                                           method=FasterRCNNNet.rpn)
         return feats, rpn_cls, rpn_reg
 
@@ -158,7 +162,7 @@ class FasterRCNNDetector:
           samples.rois)
         s = samples.rois.shape[1]
         cls_logits, reg_preds = self.net.apply(
-            variables, roi_feats.reshape(b * s, 7, 7, -1),
+            cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * s, 7, 7, -1),
             method=FasterRCNNNet.roi_forward)
         rcnn_losses, acc = rcnn_loss(cls_logits.astype(jnp.float32),
                                      reg_preds.astype(jnp.float32), samples,
@@ -184,7 +188,7 @@ class FasterRCNNDetector:
           feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
           prop_boxes)
         cls_logits, reg_preds = self.net.apply(
-            variables, roi_feats.reshape(b * p, 7, 7, -1),
+            cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * p, 7, 7, -1),
             method=FasterRCNNNet.roi_forward)
         cls_logits = cls_logits.astype(jnp.float32).reshape(b, p, -1)
         reg_preds = reg_preds.astype(jnp.float32).reshape(b, p, -1)

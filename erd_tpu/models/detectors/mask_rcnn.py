@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...data.masks import crop_resize_mask
 from ...ops.roi_align import multilevel_roi_align
 from ...structures import DetResults
@@ -99,7 +100,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
         s = samples.rois.shape[1]
         roi7 = self._roi_feats(feats, samples.rois, 7)
         cls_logits, reg_preds = self.net.apply(
-            variables, roi7.reshape(b * s, 7, 7, -1),
+            cast_compute_params(variables, self.compute_dtype), roi7.reshape(b * s, 7, 7, -1),
             method=MaskRCNNNet.roi_forward)
         rcnn_losses, _ = rcnn_loss(cls_logits.astype(jnp.float32),
                                    reg_preds.astype(jnp.float32), samples,
@@ -109,7 +110,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
         # ---- mask branch on positive RoIs ----
         roi14 = self._roi_feats(feats, samples.rois, 14)
         mask_logits = self.net.apply(
-            variables, roi14.reshape(b * s, 14, 14, -1),
+            cast_compute_params(variables, self.compute_dtype), roi14.reshape(b * s, 14, 14, -1),
             method=MaskRCNNNet.mask_forward).astype(jnp.float32)
 
         def targets_single(gt_masks, gt_boxes, smp):
@@ -132,7 +133,8 @@ class MaskRCNNDetector(FasterRCNNDetector):
     def predict(self, variables, batch, rescale=True):
         res = super().predict(variables, batch, rescale=rescale)
         images = batch['images']
-        feats = self.net.apply(variables, self.preprocessor(images),
+        feats = self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images),
                                method=MaskRCNNNet.extract_feat)
         # mask branch operates in the network input frame
         if rescale:
@@ -143,7 +145,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
         b, d = rois.shape[:2]
         roi14 = self._roi_feats(feats, rois, 14)
         mask_logits = self.net.apply(
-            variables, roi14.reshape(b * d, 14, 14, -1),
+            cast_compute_params(variables, self.compute_dtype), roi14.reshape(b * d, 14, 14, -1),
             method=MaskRCNNNet.mask_forward).astype(jnp.float32)
         c = mask_logits.shape[-1]
         labels = jnp.clip(res.labels.reshape(-1), 0, c - 1)

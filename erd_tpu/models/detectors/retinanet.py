@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ..backbones.resnet import ResNet
 from ..heads.gfl_head import AnchorContext, GFLTestConfig
 from ..heads.retina_head import (RetinaHeadNet, RetinaTrainConfig,
@@ -74,7 +75,8 @@ class RetinaNetDetector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss(self, variables, batch):
         images = batch['images']

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ...task import AnchorGenerator
 from ..backbones.resnet import ResNet
 from ..heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
@@ -114,7 +115,8 @@ class GFLDetector:
     # -- modes ----------------------------------------------------------
     def forward_raw(self, variables, images):
         """mode='tensor': per-level (cls_scores, bbox_preds), NHWC."""
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss(self, variables, batch):
         """mode='loss'. batch: dict(images, gt: GTInstances, meta: ImageMeta)."""

@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..layers import cast_compute_params
 from ..backbones.darknet import Darknet
 from ..heads.gfl_head import GFLTestConfig
 from ..heads.yolo_head import (YOLOContext, YOLOV3HeadNet, _flatten_pred,
@@ -65,7 +66,8 @@ class YOLOV3Detector:
         return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
 
     def forward_raw(self, variables, images):
-        return self.net.apply(variables, self.preprocessor(images))
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
     def loss_and_state(self, variables, batch, teacher_variables=None):
         """Train forward with BatchNorm stat updates; returns (losses,
@@ -73,7 +75,7 @@ class YOLOV3Detector:
         images = batch['images']
         ctx = self.context(images.shape[1:3])
         preds_lvl, new_state = self.net.apply(
-            variables, self.preprocessor(images), train=True,
+            cast_compute_params(variables, self.compute_dtype), self.preprocessor(images), train=True,
             mutable=['batch_stats'])
         preds = _flatten_pred(preds_lvl, self.num_classes)
         targets = yolo_targets(ctx, batch['gt'])

@@ -62,14 +62,16 @@ class GFLHeadNet(nn.Module):
                        name=f'reg_conv_{i}')
             for i in range(self.stacked_convs)
         ]
+        head_dtype = feats[0].dtype
         gfl_cls = nn.Conv(self.num_classes, (3, 3),
                           padding=[torch_pad(3)] * 2,
                           kernel_init=nn.initializers.normal(0.01),
-                          bias_init=bias_init_prob(0.01), name='gfl_cls')
+                          bias_init=bias_init_prob(0.01), dtype=head_dtype,
+                          name='gfl_cls')
         gfl_reg = nn.Conv(4 * (self.reg_max + 1), (3, 3),
                           padding=[torch_pad(3)] * 2,
                           kernel_init=nn.initializers.normal(0.01),
-                          name='gfl_reg')
+                          dtype=head_dtype, name='gfl_reg')
         scales = [Scale(1.0, name=f'scale_{i}')
                   for i in range(self.num_levels)]
 

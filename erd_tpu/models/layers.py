@@ -61,9 +61,12 @@ class Scale(nn.Module):
 class ConvModule(nn.Module):
     """Conv2d + optional norm (GN/frozen-BN) + optional ReLU, torch padding.
 
-    GroupNorm computes in the INPUT dtype (params stay fp32): flax's default
-    promotes to fp32, which forces dtype round-trips between every conv and
-    norm in bf16 towers.
+    Conv and GroupNorm both compute in the INPUT dtype (params stay fp32):
+    flax's default dtype=None promotes bf16 activations back to fp32
+    against the fp32 kernels, which silently runs "bf16" towers in fp32
+    and doubles HBM traffic. dtype=x.dtype keeps the tower in the dtype
+    the stem cast established (GN statistics still accumulate in fp32
+    inside flax).
     """
     features: int
     kernel_size: int = 3
@@ -88,6 +91,7 @@ class ConvModule(nn.Module):
             use_bias=use_bias,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
+            dtype=x.dtype,
             name=self.name_conv)(x)
         if self.norm == 'gn':
             x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
@@ -129,3 +133,25 @@ def bias_init_prob(prior_prob: float) -> Callable:
         return jnp.full(shape, v, dtype)
 
     return init
+
+
+def cast_compute_params(variables, dtype):
+    """Cast floating params to the compute dtype at the apply boundary.
+
+    flax's dtype=None promotion means fp32 params silently pull bf16
+    activations back to fp32 after every layer; casting the param tree
+    once per apply keeps the whole network in the compute dtype. The cast
+    lives inside jit (grads transpose back to fp32 master params), and
+    non-param collections (batch_stats) stay fp32 for stable statistics.
+    """
+    if dtype == jnp.float32 or 'params' not in variables:
+        return variables
+
+    def cast(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    out = dict(variables)
+    out['params'] = jax.tree.map(cast, variables['params'])
+    return out

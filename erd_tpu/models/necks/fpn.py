@@ -29,7 +29,8 @@ class FPN(nn.Module):
         used = list(range(self.start_level, len(inputs)))
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}')(inputs[i])
+            nn.Conv(self.out_channels, (1, 1), dtype=inputs[i].dtype,
+                    name=f'lateral_{i}')(inputs[i])
             for i in used
         ]
 
@@ -41,6 +42,7 @@ class FPN(nn.Module):
 
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[torch_pad(3)] * 2,
+                    dtype=laterals[j].dtype,
                     name=f'fpn_conv_{j}')(laterals[j])
             for j in range(len(laterals))
         ]
@@ -61,6 +63,6 @@ class FPN(nn.Module):
                             src = nn.relu(src)
                     outs.append(
                         nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                padding=[torch_pad(3)] * 2,
+                                padding=[torch_pad(3)] * 2, dtype=src.dtype,
                                 name=f'extra_conv_{k}')(src))
         return tuple(outs)
