@@ -70,6 +70,88 @@ def sgd_optimizer(schedule, momentum: float = 0.9,
     return tx
 
 
+def swin_layer_id(path, num_layers):
+    """Depth index of a swin/ViT-style backbone param for layer-wise decay.
+
+    Mirrors the intent of get_layer_id_for_convnext
+    (mmdet/engine/optimizers/layer_decay_optimizer_constructor.py:12-52):
+    embeddings get id 0, transformer blocks get 1..num_layers in depth
+    order, everything outside the backbone gets num_layers + 1 (full LR).
+    Param paths follow backbones/swin.py naming
+    (patch_embed / stage{s}_block{b} / downsample{s} / out_norm{s}).
+    """
+    if not path or path[0] != 'backbone':
+        return num_layers + 1
+    name = path[1] if len(path) > 1 else ''
+    if name.startswith(('patch_embed', 'patch_norm')):
+        return 0
+    if name.startswith('stage'):
+        stage, block = name.split('_block')
+        # depths like swin-T (2,2,6,2): flatten to a running block index
+        sid = int(stage[5:])
+        return min(sum((2, 2, 6, 2)[:sid]) + int(block) + 1, num_layers)
+    if name.startswith('downsample'):
+        sid = int(name[len('downsample'):])
+        return min(sum((2, 2, 6, 2)[:sid + 1]), num_layers)
+    return num_layers  # out_norms ride with the last block
+    # (resnet variants can pass their own layer_id_fn below)
+
+
+def layer_wise_lr_scale(decay_rate: float, num_layers: int,
+                        layer_id_fn: Callable = swin_layer_id):
+    """optax transform scaling updates by decay_rate^(num_layers+1-id).
+
+    The TPU-idiomatic form of LearningRateDecayOptimizerConstructor
+    (layer_decay_optimizer_constructor.py:82-172): instead of materialized
+    torch param groups, a pure per-leaf scale folded into the jitted
+    update.
+    """
+    import optax as _optax
+
+    def init(params):
+        del params
+        return _optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            lid = layer_id_fn(path, num_layers)
+            return tree * (decay_rate ** (num_layers + 1 - lid))
+
+        return walk(updates, ()), state
+
+    return _optax.GradientTransformation(init, update)
+
+
+def layer_decay_adamw(schedule, num_layers: int, decay_rate: float = 0.9,
+                      betas=(0.9, 0.999), weight_decay: float = 0.05,
+                      layer_id_fn: Callable = swin_layer_id,
+                      grad_clip: Optional[float] = None):
+    """AdamW with layer-wise LR decay + no-decay for 1-D params/biases.
+
+    The ConvNeXt/ViT fine-tuning recipe: earlier backbone layers get
+    geometrically smaller LRs; norms/biases (ndim == 1) skip weight decay
+    (layer_decay_optimizer_constructor.py:110-117).
+    """
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+
+    def decay_mask(params):
+        return jax.tree.map(lambda p: p.ndim > 1, params)
+
+    chain += [
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.masked(optax.add_decayed_weights(weight_decay), decay_mask),
+        layer_wise_lr_scale(decay_rate, num_layers, layer_id_fn),
+        optax.scale_by_learning_rate(schedule),
+    ]
+    return optax.chain(*chain)
+
+
 def adamw_optimizer(schedule, betas=(0.9, 0.999), weight_decay: float = 1e-4,
                     frozen_stages: int = -1,
                     grad_clip: Optional[float] = None,

@@ -168,3 +168,48 @@ def test_grad_accumulation():
     want, _ = tx1.update(mean_g, s1, p)
     np.testing.assert_allclose(np.asarray(u['w']), np.asarray(want['w']),
                                rtol=1e-6)
+
+
+def test_layer_decay_adamw():
+    from erd_tpu.engine import layer_decay_adamw, swin_layer_id
+    num_layers = 12
+    tx = layer_decay_adamw(lambda c: 0.1, num_layers=num_layers,
+                           decay_rate=0.5, weight_decay=0.0)
+    params = {
+        'backbone': {
+            'patch_embed': {'kernel': jnp.ones((2, 2, 3, 4))},
+            'stage0_block0': {'w': jnp.ones((4, 4))},
+            'stage3_block1': {'w': jnp.ones((4, 4))},
+        },
+        'bbox_head': {'w': jnp.ones((4, 4))},
+    }
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    u, _ = tx.update(grads, state, params)
+    # head gets full LR; embeddings get decay^(L+1); deeper blocks decay less
+    head = float(jnp.abs(u['bbox_head']['w']).mean())
+    embed = float(jnp.abs(u['backbone']['patch_embed']['kernel']).mean())
+    blk0 = float(jnp.abs(u['backbone']['stage0_block0']['w']).mean())
+    blk_last = float(jnp.abs(u['backbone']['stage3_block1']['w']).mean())
+    assert embed < blk0 < blk_last <= head
+    assert embed == pytest.approx(head * 0.5 ** (num_layers + 1), rel=1e-4)
+    # layer-id sanity against the swin depth table
+    assert swin_layer_id(('backbone', 'patch_embed'), num_layers) == 0
+    assert swin_layer_id(('backbone', 'stage0_block0', 'w'), num_layers) == 1
+    assert swin_layer_id(('backbone', 'stage3_block1', 'w'),
+                         num_layers) == num_layers
+    assert swin_layer_id(('bbox_head', 'w'), num_layers) == num_layers + 1
+
+
+def test_layer_decay_no_decay_for_1d_params():
+    from erd_tpu.engine import layer_decay_adamw
+    tx = layer_decay_adamw(lambda c: 1.0, num_layers=2, decay_rate=1.0,
+                           weight_decay=0.5)
+    params = {'w': jnp.full((3, 3), 2.0), 'bias': jnp.full((3,), 2.0)}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    u, _ = tx.update(grads, state, params)
+    # zero grads kill the adam term, so only the decoupled weight-decay
+    # term remains: present for the 2-D kernel, absent for the 1-D bias
+    assert float(jnp.abs(u['w']).sum()) > 0
+    assert float(jnp.abs(u['bias']).sum()) == 0
