@@ -115,6 +115,14 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return DINODetector(
             num_queries=model_cfg.get('num_queries', 900),
             max_per_img=test.get('max_per_img', 300), **base)
+    if mtype == 'TOOD':
+        from ..models.detectors.tood import TOODDetector
+        return TOODDetector(
+            initial_epochs=train.get('initial_epoch', 4),
+            test_cfg=test_cfg, **base)
+    if mtype == 'VFNet':
+        from ..models.detectors.vfnet import VFNetDetector
+        return VFNetDetector(test_cfg=test_cfg, **base)
     if mtype in ('ConditionalDETR', 'DABDETR'):
         from ..models.detectors.conditional_dab_detr import (
             ConditionalDETRDetector, DABDETRDetector)

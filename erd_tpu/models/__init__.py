@@ -5,6 +5,8 @@ from .detectors.gfl_erd import ERDConfig, ERDDetector, ers_select
 from .detectors.faster_rcnn import FasterRCNNDetector
 from .detectors.ld import LDDetector
 from .detectors.retinanet import RetinaNetDetector
+from .detectors.tood import TOODDetector
+from .detectors.vfnet import VFNetDetector
 from .detectors.single_stage import GFLDetector, GFLNet
 from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                              GFLTrainConfig, flatten_levels, gfl_loss,
@@ -16,6 +18,7 @@ __all__ = [
     'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
+    'TOODDetector', 'VFNetDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

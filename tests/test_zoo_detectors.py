@@ -40,6 +40,10 @@ def _build(name):
     factories = {
         'gfl': lambda: GFLDetector(num_classes=4, depth=18),
         'retinanet': lambda: RetinaNetDetector(num_classes=4, depth=18),
+        'tood': lambda: _imp('tood', 'TOODDetector')(num_classes=4,
+                                                     depth=18),
+        'vfnet': lambda: _imp('vfnet', 'VFNetDetector')(num_classes=4,
+                                                        depth=18),
         'fcos': lambda: FCOSDetector(num_classes=4, depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
@@ -63,7 +67,14 @@ def _build(name):
     return factories[name]()
 
 
-FAMILIES = ['gfl', 'retinanet', 'fcos', 'atss', 'faster_rcnn',
+def _imp(mod, cls):
+    import importlib
+    m = importlib.import_module(f'erd_tpu.models.detectors.{mod}')
+    return getattr(m, cls)
+
+
+FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'fcos', 'atss',
+            'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
 
