@@ -120,6 +120,23 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return TOODDetector(
             initial_epochs=train.get('initial_epoch', 4),
             test_cfg=test_cfg, **base)
+    if mtype == 'CenterNet':
+        from ..models.detectors.centernet import CenterNetDetector
+        return CenterNetDetector(
+            use_dcn=model_cfg.get('use_dcn', True),
+            max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'PAA':
+        from ..models.detectors.paa import PAADetector
+        return PAADetector(topk=train.get('topk', 9),
+                           test_cfg=test_cfg, **base)
+    if mtype == 'SOLOv2':
+        from ..models.detectors.solov2 import SOLOV2Detector
+        return SOLOV2Detector(
+            nms_pre=test.get('nms_pre', 500),
+            score_thr=test.get('score_thr', 0.1),
+            mask_thr=test.get('mask_thr', 0.5),
+            filter_thr=test.get('filter_thr', 0.05),
+            max_per_img=test.get('max_per_img', 100), **base)
     if mtype == 'VFNet':
         from ..models.detectors.vfnet import VFNetDetector
         return VFNetDetector(test_cfg=test_cfg, **base)

@@ -7,6 +7,9 @@ from .detectors.ld import LDDetector
 from .detectors.retinanet import RetinaNetDetector
 from .detectors.tood import TOODDetector
 from .detectors.vfnet import VFNetDetector
+from .detectors.centernet import CenterNetDetector
+from .detectors.paa import PAADetector
+from .detectors.solov2 import SOLOV2Detector
 from .detectors.single_stage import GFLDetector, GFLNet
 from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                              GFLTrainConfig, flatten_levels, gfl_loss,
@@ -18,7 +21,7 @@ __all__ = [
     'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
-    'TOODDetector', 'VFNetDetector',
+    'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

@@ -44,6 +44,10 @@ def _build(name):
                                                      depth=18),
         'vfnet': lambda: _imp('vfnet', 'VFNetDetector')(num_classes=4,
                                                         depth=18),
+        'centernet': lambda: _imp('centernet', 'CenterNetDetector')(
+            num_classes=4, depth=18),
+        'paa': lambda: _imp('paa', 'PAADetector')(num_classes=4,
+                                                  depth=18),
         'fcos': lambda: FCOSDetector(num_classes=4, depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
@@ -73,7 +77,8 @@ def _imp(mod, cls):
     return getattr(m, cls)
 
 
-FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'fcos', 'atss',
+FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
+            'fcos', 'atss',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
