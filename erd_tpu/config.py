@@ -77,17 +77,44 @@ class Config(dict):
         return out
 
     # ------------------------------------------------------------------
-    def merge_from_options(self, options: Dict[str, str]) -> 'Config':
-        """Apply {'a.b.c': 'value'} overrides (values parsed as literals)."""
+    def merge_from_options(self, options: Dict[str, str],
+                           strict: bool = False) -> 'Config':
+        """Apply {'a.b.c': 'value'} overrides (values parsed as literals).
+
+        With ``strict=True`` (the CLI tools' mode) bad overrides fail fast
+        with the offending dotted path named: traversing a non-dict,
+        setting a key that does not exist (prefix the option with ``+`` to
+        create one deliberately, e.g. ``+model.new_knob=1``), or replacing
+        a value with an incompatible type all raise instead of surfacing
+        as a distant TypeError inside a builder.
+        """
         for key, raw in options.items():
+            allow_new = key.startswith('+')
+            key_clean = key[1:] if allow_new else key
             value = _parse_value(raw)
             node = self
-            parts = key.split('.')
-            for p in parts[:-1]:
-                if p not in node or not isinstance(node[p], dict):
+            parts = key_clean.split('.')
+            for i, p in enumerate(parts[:-1]):
+                here = '.'.join(parts[:i + 1])
+                if p in node and not isinstance(node[p], dict):
+                    raise TypeError(
+                        f"--cfg-options: '{here}' is a "
+                        f'{type(node[p]).__name__}, not a config section')
+                if p not in node:
+                    if strict and not allow_new:
+                        raise KeyError(
+                            f"--cfg-options: unknown section '{here}'"
+                            + _suggest(node, p))
                     node[p] = Config()
                 node = node[p]
-            node[parts[-1]] = Config._wrap(value)
+            leaf = parts[-1]
+            if strict and not allow_new and leaf not in node:
+                raise KeyError(
+                    f"--cfg-options: unknown key '{key_clean}'"
+                    + _suggest(node, leaf))
+            if strict and leaf in node:
+                _check_type(key_clean, node[leaf], value)
+            node[leaf] = Config._wrap(value)
         return self
 
     def dump(self) -> str:
@@ -103,6 +130,33 @@ class Config(dict):
             return repr(v)
 
         return json.dumps(enc(self), indent=2)
+
+
+def _suggest(node, key):
+    import difflib
+    close = difflib.get_close_matches(key, [str(k) for k in node], n=3)
+    return f" (did you mean: {', '.join(close)}?)" if close else \
+        ' (prefix with + to create a new key)'
+
+
+_COMPAT = (
+    {int, float, bool},      # numeric-ish scalars interchange
+    {tuple, list},
+)
+
+
+def _check_type(path, old, new):
+    if old is None or new is None:
+        return
+    to, tn = type(old), type(new)
+    if to is tn or isinstance(old, dict) and isinstance(new, dict):
+        return
+    for group in _COMPAT:
+        if to in group and tn in group:
+            return
+    raise TypeError(
+        f"--cfg-options: '{path}' expects {to.__name__} "
+        f'(current value {old!r}), got {tn.__name__} {new!r}')
 
 
 def _parse_value(raw):

@@ -64,3 +64,32 @@ def test_shipped_stage2_config():
     assert det.teacher.num_classes == 40
     assert 'last_40' in cfg.train_dataloader.dataset.ann_file
     assert cfg.test_evaluator.classwise is True
+
+
+def test_strict_options_catch_typos_and_types():
+    import pytest
+    cfg = Config._wrap(dict(optim=dict(lr=0.01, milestones=[8, 11]),
+                            model=dict(depth=50)))
+    # typo'd key fails fast, names the path, suggests the near miss
+    with pytest.raises(KeyError, match=r"optim.lrr.*did you mean: lr"):
+        cfg.merge_from_options(parse_cfg_options(['optim.lrr=0.1']),
+                               strict=True)
+    # unknown section
+    with pytest.raises(KeyError, match="unknown section 'optm'"):
+        cfg.merge_from_options(parse_cfg_options(['optm.lr=0.1']),
+                               strict=True)
+    # traversing a scalar
+    with pytest.raises(TypeError, match="'optim.lr' is a float"):
+        cfg.merge_from_options(parse_cfg_options(['optim.lr.x=1']),
+                               strict=True)
+    # incompatible value type
+    with pytest.raises(TypeError, match="expects float"):
+        cfg.merge_from_options(parse_cfg_options(['optim.lr=abc']),
+                               strict=True)
+    # compatible coercions + explicit new keys still work
+    cfg.merge_from_options(parse_cfg_options(
+        ['optim.lr=2', 'optim.milestones=(16,22)', '+model.new_flag=True']),
+        strict=True)
+    assert cfg.optim.lr == 2
+    assert cfg.optim.milestones == (16, 22)
+    assert cfg.model.new_flag is True

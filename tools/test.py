@@ -40,7 +40,8 @@ def main():
     from erd_tpu.evaluation import CocoMetric
 
     cfg = Config.fromfile(args.config)
-    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options),
+                           strict=True)
 
     detector, variables, _ = init_detector(cfg, args.checkpoint)
     data_root = cfg.get('data_root', '')

@@ -41,7 +41,8 @@ def main():
     from erd_tpu.parallel import make_mesh
 
     cfg = Config.fromfile(args.config)
-    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options),
+                           strict=True)
     if args.work_dir:
         cfg.work_dir = args.work_dir
     cfg.setdefault('experiment',
