@@ -129,6 +129,21 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         from ..models.detectors.paa import PAADetector
         return PAADetector(topk=train.get('topk', 9),
                            test_cfg=test_cfg, **base)
+    if mtype == 'SoftTeacher':
+        from ..models.detectors.soft_teacher import (SemiTrainConfig,
+                                                     SoftTeacherDetector)
+        semi = model_cfg.get('semi_train_cfg', {})
+        return SoftTeacherDetector(
+            semi=SemiTrainConfig(
+                pseudo_label_initial_score_thr=semi.get(
+                    'pseudo_label_initial_score_thr', 0.5),
+                rpn_pseudo_thr=semi.get('rpn_pseudo_thr', 0.9),
+                cls_pseudo_thr=semi.get('cls_pseudo_thr', 0.9),
+                reg_pseudo_thr=semi.get('reg_pseudo_thr', 0.02),
+                jitter_times=semi.get('jitter_times', 10),
+                jitter_scale=semi.get('jitter_scale', 0.06),
+                unsup_weight=semi.get('unsup_weight', 4.0)),
+            test_cfg=test_cfg, **base)
     if mtype == 'SOLOv2':
         from ..models.detectors.solov2 import SOLOV2Detector
         return SOLOV2Detector(

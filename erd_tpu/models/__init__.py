@@ -10,6 +10,7 @@ from .detectors.vfnet import VFNetDetector
 from .detectors.centernet import CenterNetDetector
 from .detectors.paa import PAADetector
 from .detectors.solov2 import SOLOV2Detector
+from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
 from .heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                              GFLTrainConfig, flatten_levels, gfl_loss,
@@ -21,7 +22,7 @@ __all__ = [
     'ResNet', 'FPN', 'GFLHeadNet', 'GFLNet', 'GFLDetector', 'ERDDetector',
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
-    'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector',
+    'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]
