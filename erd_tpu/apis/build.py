@@ -85,6 +85,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'MaskScoringRCNN':
+        from ..models.detectors.mask_scoring_rcnn import (
+            MaskScoringRCNNDetector)
+        return MaskScoringRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'CascadeRCNN':
         from ..models.detectors.cascade_rcnn import CascadeRCNNDetector
         return CascadeRCNNDetector(test_cfg=test_cfg, **base)
@@ -152,6 +156,70 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
             mask_thr=test.get('mask_thr', 0.5),
             filter_thr=test.get('filter_thr', 0.05),
             max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'FSAF':
+        from ..models.detectors.fsaf import FSAFDetector
+        from ..models.heads.fsaf_head import FSAFTrainConfig
+        return FSAFDetector(
+            train_cfg=FSAFTrainConfig(
+                pos_scale=train.get('pos_scale', 0.2),
+                neg_scale=train.get('neg_scale', 0.2),
+                min_pos_iof=train.get('min_pos_iof', 0.01)),
+            test_cfg=test_cfg, **base)
+    if mtype == 'FOVEA':
+        from ..models.detectors.fovea import FoveaDetector
+        return FoveaDetector(sigma=model_cfg.get('sigma', 0.4),
+                             test_cfg=test_cfg, **base)
+    if mtype == 'YOLOF':
+        from ..models.detectors.yolof import YOLOFDetector
+        from ..models.heads.yolof_head import YOLOFTrainConfig
+        return YOLOFDetector(
+            train_cfg=YOLOFTrainConfig(
+                match_times=train.get('match_times', 4),
+                pos_ignore_thr=train.get('pos_ignore_thr', 0.15),
+                neg_ignore_thr=train.get('neg_ignore_thr', 0.7)),
+            test_cfg=test_cfg, **base)
+    if mtype == 'RepPoints':
+        from ..models.detectors.reppoints import RepPointsDetector
+        return RepPointsDetector(test_cfg=test_cfg, **base)
+    if mtype == 'FreeAnchor':
+        from ..models.detectors.free_anchor import FreeAnchorDetector
+        return FreeAnchorDetector(
+            pre_anchor_topk=train.get('pre_anchor_topk', 50),
+            bbox_thr=train.get('bbox_thr', 0.6),
+            test_cfg=test_cfg, **base)
+    if mtype == 'PISARetinaNet':
+        from ..models.detectors.pisa_retinanet import PISARetinaNetDetector
+        return PISARetinaNetDetector(test_cfg=test_cfg, **base)
+    if mtype == 'AutoAssign':
+        from ..models.detectors.autoassign import AutoAssignDetector
+        return AutoAssignDetector(test_cfg=test_cfg, **base)
+    if mtype == 'SparseRCNN':
+        from ..models.detectors.sparse_rcnn import SparseRCNNDetector
+        return SparseRCNNDetector(
+            num_proposals=model_cfg.get('num_proposals', 100),
+            num_stages=model_cfg.get('num_stages', 6),
+            max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'PanopticFPN':
+        from ..models.detectors.panoptic_fpn import PanopticFPNDetector
+        return PanopticFPNDetector(
+            num_stuff_classes=model_cfg.get('num_stuff_classes', 53),
+            test_cfg=test_cfg, **base)
+    if mtype == 'LibraRCNN':
+        from ..models.detectors.libra_rcnn import LibraRCNNDetector
+        return LibraRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CornerNet':
+        from ..models.detectors.cornernet import CornerNetDetector
+        base.pop('depth')
+        return CornerNetDetector(
+            corner_topk=test.get('corner_topk', 100),
+            distance_threshold=test.get('distance_threshold', 0.5),
+            score_thr=test.get('score_thr', 0.05),
+            max_per_img=test.get('max_per_img', 100),
+            nms_iou=test.get('nms_iou_threshold', 0.5), **base)
+    if mtype == 'DDOD':
+        from ..models.detectors.ddod import DDODDetector
+        return DDODDetector(use_dcn=model_cfg.get('use_dcn', True),
+                            test_cfg=test_cfg, **base)
     if mtype == 'VFNet':
         from ..models.detectors.vfnet import VFNetDetector
         return VFNetDetector(test_cfg=test_cfg, **base)

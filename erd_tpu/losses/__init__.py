@@ -1,5 +1,6 @@
-from .extra import (dice_loss, gaussian_focal_loss, ghm_c_loss, ghm_r_loss,
-                    seesaw_loss, varifocal_loss)
+from .extra import (associative_embedding_loss, bounded_iou_loss, carl_loss,
+                    dice_loss, eiou_loss, gaussian_focal_loss, ghm_c_loss,
+                    ghm_r_loss, isr_p_weights, seesaw_loss, varifocal_loss)
 from .focal import (CrossEntropyLoss, FocalLoss, binary_cross_entropy_loss,
                     cross_entropy_loss, sigmoid_focal_loss)
 from .gfocal import (DistributionFocalLoss, QualityFocalLoss,
@@ -26,5 +27,6 @@ __all__ = [
     'FocalLoss', 'CrossEntropyLoss', 'smooth_l1_loss', 'l1_loss', 'mse_loss',
     'balanced_l1_loss', 'SmoothL1Loss', 'L1Loss', 'MSELoss', 'BalancedL1Loss',
     'varifocal_loss', 'ghm_c_loss', 'ghm_r_loss', 'gaussian_focal_loss',
-    'dice_loss', 'seesaw_loss',
+    'dice_loss', 'seesaw_loss', 'bounded_iou_loss', 'eiou_loss',
+    'associative_embedding_loss', 'isr_p_weights', 'carl_loss',
 ]

@@ -156,3 +156,138 @@ def dice_loss(pred, target, weight=None, eps=1e-3, naive=False,
         d = (2 * a + eps) / (b + c + eps)
     loss = 1 - d
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def bounded_iou_loss(pred, target, weight=None, beta=0.2, eps=1e-3,
+                     reduction='mean', avg_factor=None):
+    """Bounded IoU loss (reference losses/iou_loss.py:58-108): per-coordinate
+    smooth-L1 over the four bounded-fitness terms (dx, dy, dw, dh);
+    the target-side quantities carry no gradient."""
+    pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    tgt = jax.lax.stop_gradient(target)
+    tcx = (tgt[..., 0] + tgt[..., 2]) * 0.5
+    tcy = (tgt[..., 1] + tgt[..., 3]) * 0.5
+    tw = tgt[..., 2] - tgt[..., 0]
+    th = tgt[..., 3] - tgt[..., 1]
+    dx = tcx - pcx
+    dy = tcy - pcy
+    loss_dx = 1 - jnp.maximum(
+        (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0.0)
+    loss_dy = 1 - jnp.maximum(
+        (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0.0)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def eiou_loss(pred, target, weight=None, smooth_point=0.1, eps=1e-7,
+              reduction='mean', avg_factor=None):
+    """Extended-IoU loss (reference losses/iou_loss.py:250-304)."""
+    px1, py1, px2, py2 = (pred[..., 0], pred[..., 1], pred[..., 2],
+                          pred[..., 3])
+    tx1, ty1, tx2, ty2 = (target[..., 0], target[..., 1], target[..., 2],
+                          target[..., 3])
+    ex1 = jnp.minimum(px1, tx1)
+    ey1 = jnp.minimum(py1, ty1)
+    ix1 = jnp.maximum(px1, tx1)
+    iy1 = jnp.maximum(py1, ty1)
+    ix2 = jnp.minimum(px2, tx2)
+    iy2 = jnp.minimum(py2, ty2)
+    xmin = jnp.minimum(ix1, ix2)
+    ymin = jnp.minimum(iy1, iy2)
+    xmax = jnp.maximum(ix1, ix2)
+    ymax = jnp.maximum(iy1, iy2)
+    inter = (ix2 - ex1) * (iy2 - ey1) + (xmin - ex1) * (ymin - ey1) - \
+        (ix1 - ex1) * (ymax - ey1) - (xmax - ex1) * (iy1 - ey1)
+    union = (px2 - px1) * (py2 - py1) + (tx2 - tx1) * (ty2 - ty1) - \
+        inter + eps
+    ious = 1 - inter / union
+    sign = jax.lax.stop_gradient(
+        (ious < smooth_point).astype(ious.dtype))
+    loss = 0.5 * sign * ious * ious / smooth_point + \
+        (1 - sign) * (ious - 0.5 * smooth_point)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def associative_embedding_loss(tl_emb, br_emb, valid_mask,
+                               pull_weight=0.25, push_weight=0.25):
+    """Associative Embedding pull/push loss (reference losses/ae_loss.py),
+    masked static-shape form for one image.
+
+    Args:
+        tl_emb, br_emb: (G,) corner embeddings gathered at the gt corner
+            locations (1-d embedding as in CornerNet).
+        valid_mask: (G,) bool for padded gt slots.
+    Returns (pull, push) scalars, each already weighted.
+    """
+    m = valid_mask.astype(tl_emb.dtype)
+    n = m.sum()
+    mean = (tl_emb + br_emb) / 2.0
+    pull = (jnp.square(tl_emb - mean) + jnp.square(br_emb - mean)) * m
+    pull = pull.sum() / jnp.maximum(n, 1.0)
+
+    margin = 1.0
+    diff = jnp.abs(mean[:, None] - mean[None, :])
+    pair = m[:, None] * m[None, :] * \
+        (1.0 - jnp.eye(mean.shape[0], dtype=tl_emb.dtype))
+    push = (jax.nn.relu(margin - diff) * pair).sum() / \
+        jnp.maximum(n * (n - 1.0), 1.0)
+    push = jnp.where(n > 1, push, 0.0)
+    return pull_weight * pull, push_weight * push
+
+
+def isr_p_weights(cls_prob_at_label, decoded_iou, pos_mask, labels,
+                  num_classes, k=2.0, bias=0.0):
+    """PISA importance-based sample reweighting (ISR-P), dense masked form.
+
+    Mirrors reference losses/pisa_loss.py isr_p: positives are ranked per
+    class by decoded-box IoU (IoU hierarchical local rank collapsed to the
+    per-class rank; the local/global split degenerates to per-class rank for
+    the dense form), importance = 1 - rank/n_cls_pos, weight =
+    bias + (1 - bias) * importance^k, then renormalized so the weighted
+    positive count is preserved.
+
+    Args:
+        cls_prob_at_label: (P,) unused in the rank (kept for parity hooks).
+        decoded_iou: (P,) IoU of decoded pred vs its target.
+        pos_mask: (P,) bool.
+        labels: (P,) int.
+    Returns (P,) weights (1 for negatives).
+    """
+    p = decoded_iou.shape[0]
+    onehot = jax.nn.one_hot(labels, num_classes + 1)[:, :num_classes]
+    onehot = onehot * pos_mask[:, None]
+    iou_m = jnp.where(pos_mask, decoded_iou, -1.0)
+    # rank within class: number of same-class positives with larger IoU
+    same_cls = (labels[:, None] == labels[None, :]) & pos_mask[None, :] \
+        & pos_mask[:, None]
+    rank = (same_cls & (iou_m[None, :] > iou_m[:, None])).sum(axis=1)
+    n_cls = jnp.maximum(same_cls.sum(axis=1).astype(jnp.float32), 1.0)
+    importance = 1.0 - rank.astype(jnp.float32) / n_cls
+    w = bias + (1.0 - bias) * jnp.power(importance, k)
+    # renormalize: sum of pos weights == num pos
+    num_pos = jnp.maximum(pos_mask.sum().astype(jnp.float32), 1.0)
+    denom = jnp.maximum((w * pos_mask).sum(), 1e-6)
+    w = w * num_pos / denom
+    return jnp.where(pos_mask, w, 1.0)
+
+
+def carl_loss(cls_prob_at_label, reg_loss_per_pos, pos_mask, k=1.0,
+              bias=0.2, avg_factor=None):
+    """Classification-Aware Regression Loss (reference pisa_loss.py carl):
+    reg loss of each positive scaled by (bias + (1-bias)*p_cls)^k,
+    normalized so the scale factors average to 1 over positives."""
+    w = jnp.power(bias + (1.0 - bias) * cls_prob_at_label, k)
+    num_pos = jnp.maximum(pos_mask.sum().astype(jnp.float32), 1.0)
+    denom = jnp.maximum((w * pos_mask).sum(), 1e-6)
+    w = jax.lax.stop_gradient(w * num_pos / denom)
+    loss = (reg_loss_per_pos * w * pos_mask).sum()
+    if avg_factor is not None:
+        loss = loss / jnp.maximum(avg_factor, 1.0)
+    return loss

@@ -9,6 +9,19 @@ from .detectors.tood import TOODDetector
 from .detectors.vfnet import VFNetDetector
 from .detectors.centernet import CenterNetDetector
 from .detectors.paa import PAADetector
+from .detectors.fsaf import FSAFDetector
+from .detectors.fovea import FoveaDetector
+from .detectors.yolof import YOLOFDetector
+from .detectors.reppoints import RepPointsDetector
+from .detectors.ddod import DDODDetector
+from .detectors.cornernet import CornerNetDetector
+from .detectors.libra_rcnn import LibraRCNNDetector
+from .detectors.panoptic_fpn import PanopticFPNDetector
+from .detectors.sparse_rcnn import SparseRCNNDetector
+from .detectors.free_anchor import FreeAnchorDetector
+from .detectors.autoassign import AutoAssignDetector
+from .detectors.pisa_retinanet import PISARetinaNetDetector
+from .detectors.mask_scoring_rcnn import MaskScoringRCNNDetector
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -23,6 +36,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

@@ -1,0 +1,16 @@
+from .csp_darknet import CSPDarknet
+from .darknet import Darknet
+from .hourglass import HourglassNet
+from .hrnet import HRNet
+from .mobilenet_v2 import MobileNetV2
+from .regnet import RegNet
+from .res2net import Res2Net
+from .resnet import ResNet
+from .resnext import ResNeXt
+from .ssd_vgg import SSDVGG
+from .swin import SwinTransformer
+
+__all__ = [
+    'ResNet', 'ResNeXt', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet',
+    'MobileNetV2', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer',
+]

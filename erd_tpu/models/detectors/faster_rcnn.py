@@ -117,10 +117,10 @@ class FasterRCNNDetector:
     def _feats_and_rpn(self, variables, images):
         feats = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), self.preprocessor(images),
-                               method=FasterRCNNNet.extract_feat)
+                               method='extract_feat')
         rpn_cls, rpn_reg = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), feats,
-                                          method=FasterRCNNNet.rpn)
+                                          method='rpn')
         return feats, rpn_cls, rpn_reg
 
     def loss(self, variables, batch):
@@ -163,7 +163,7 @@ class FasterRCNNDetector:
         s = samples.rois.shape[1]
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * s, 7, 7, -1),
-            method=FasterRCNNNet.roi_forward)
+            method='roi_forward')
         rcnn_losses, acc = rcnn_loss(cls_logits.astype(jnp.float32),
                                      reg_preds.astype(jnp.float32), samples,
                                      self.num_classes, self.rcnn_train_cfg)
@@ -189,7 +189,7 @@ class FasterRCNNDetector:
           prop_boxes)
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * p, 7, 7, -1),
-            method=FasterRCNNNet.roi_forward)
+            method='roi_forward')
         cls_logits = cls_logits.astype(jnp.float32).reshape(b, p, -1)
         reg_preds = reg_preds.astype(jnp.float32).reshape(b, p, -1)
 

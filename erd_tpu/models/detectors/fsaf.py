@@ -1,0 +1,106 @@
+"""FSAF detector assembly.
+
+Mirrors /root/reference/mmdet/models/detectors/fsaf.py +
+configs/fsaf/fsaf_r50_fpn_1x_coco.py: R50 + FPN (extras ``on_input``) +
+FSAFHead (anchor-free branch only), CenterRegionAssigner targets, online
+feature selection, TBLR coder (normalizer=4), NMS iou 0.5.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...task.coder import TBLRBBoxCoder
+from ..backbones.resnet import ResNet
+from ..heads.fsaf_head import (FSAFHeadNet, FSAFTrainConfig,
+                               fsaf_anchor_generator, fsaf_loss,
+                               fsaf_predict, fsaf_targets)
+from ..heads.gfl_head import AnchorContext, GFLTestConfig
+from ..layers import cast_compute_params
+from ..necks.fpn import FPN
+from ..preprocessor import Preprocessor
+
+
+class FSAFNet(nn.Module):
+    num_classes: int
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
+                       name='backbone')(images)
+        in_ch = tuple(f.shape[-1] for f in feats)
+        feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
+                    add_extra_convs='on_input', num_outs=5,
+                    name='neck')(feats)
+        return FSAFHeadNet(num_classes=self.num_classes,
+                           name='bbox_head')(feats)
+
+
+@dataclass
+class FSAFDetector:
+    num_classes: int = 80
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+    preprocessor: Preprocessor = field(default_factory=Preprocessor)
+    train_cfg: FSAFTrainConfig = field(default_factory=FSAFTrainConfig)
+    test_cfg: GFLTestConfig = field(
+        default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
+
+    def __post_init__(self):
+        self.net = FSAFNet(num_classes=self.num_classes, depth=self.depth,
+                           compute_dtype=self.compute_dtype)
+        self.anchor_generator = fsaf_anchor_generator()
+        self.coder = TBLRBBoxCoder(normalizer=4.0)
+        self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
+        self.loss_jit = jax.jit(self.loss)
+        self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
+        self.forward_jit = jax.jit(self.forward_raw)
+
+    def anchor_context(self, image_shape) -> AnchorContext:
+        key = tuple(int(v) for v in image_shape)
+        if key not in self._ctx_cache:
+            self._ctx_cache[key] = AnchorContext.build(
+                key, self.anchor_generator)
+        return self._ctx_cache[key]
+
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
+                          jnp.uint8)
+        return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
+
+    def forward_raw(self, variables, images):
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype),
+            self.preprocessor(images))
+
+    def loss(self, variables, batch):
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        cls_lvl, reg_lvl = self.forward_raw(variables, images)
+        b = images.shape[0]
+        cls_flat = jnp.concatenate(
+            [m.reshape(b, -1, self.num_classes) for m in cls_lvl],
+            axis=1).astype(jnp.float32)
+        reg_flat = jnp.concatenate(
+            [m.reshape(b, -1, 4) for m in reg_lvl], axis=1)
+        targets = fsaf_targets(ctx, batch['gt'], self.num_classes,
+                               self.train_cfg)
+        return fsaf_loss(ctx, cls_flat, reg_flat, targets,
+                         batch['gt'].mask, self.num_classes, self.coder,
+                         self.train_cfg)
+
+    def predict(self, variables, batch, rescale=True):
+        images = batch['images']
+        ctx = self.anchor_context(images.shape[1:3])
+        cls_lvl, reg_lvl = self.forward_raw(variables, images)
+        cls_lvl = [c.astype(jnp.float32) for c in cls_lvl]
+        reg_lvl = [r.astype(jnp.float32) for r in reg_lvl]
+        return fsaf_predict(ctx, cls_lvl, reg_lvl, batch['meta'],
+                            self.coder, self.test_cfg,
+                            num_classes=self.num_classes, rescale=rescale)

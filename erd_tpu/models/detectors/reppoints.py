@@ -1,0 +1,110 @@
+"""RepPoints detector assembly.
+
+Mirrors /root/reference/mmdet/models/detectors/reppoints_detector.py +
+configs/reppoints/reppoints-moment_r50_fpn_1x_coco.py: R50 + FPN (extras
+``on_input``) + RepPointsHead (moment transform), PointAssigner init /
+MaxIoU refine, NMS iou 0.5.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..backbones.resnet import ResNet
+from ..heads.fcos_head import FCOSPointContext
+from ..heads.gfl_head import GFLTestConfig
+from ..heads.reppoints_head import (RepPointsHeadNet, pts_to_img_boxes,
+                                    reppoints_loss, reppoints_predict,
+                                    reppoints_targets)
+from ..layers import cast_compute_params
+from ..necks.fpn import FPN
+from ..preprocessor import Preprocessor
+
+
+class RepPointsNet(nn.Module):
+    num_classes: int
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
+                       name='backbone')(images)
+        in_ch = tuple(f.shape[-1] for f in feats)
+        feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
+                    add_extra_convs='on_input', num_outs=5,
+                    name='neck')(feats)
+        return RepPointsHeadNet(num_classes=self.num_classes,
+                                name='bbox_head')(feats)
+
+
+@dataclass
+class RepPointsDetector:
+    num_classes: int = 80
+    depth: int = 50
+    compute_dtype: Any = jnp.float32
+    preprocessor: Preprocessor = field(default_factory=Preprocessor)
+    test_cfg: GFLTestConfig = field(
+        default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
+
+    def __post_init__(self):
+        self.net = RepPointsNet(num_classes=self.num_classes,
+                                depth=self.depth,
+                                compute_dtype=self.compute_dtype)
+        self._ctx_cache: Dict[Tuple[int, int], FCOSPointContext] = {}
+        self.loss_jit = jax.jit(self.loss)
+        self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
+        self.forward_jit = jax.jit(self.forward_raw)
+
+    def point_context(self, image_shape) -> FCOSPointContext:
+        key = tuple(int(v) for v in image_shape)
+        if key not in self._ctx_cache:
+            self._ctx_cache[key] = FCOSPointContext.build(key)
+        return self._ctx_cache[key]
+
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
+                          jnp.uint8)
+        return jax.jit(self.net.init)(rng, self.preprocessor(dummy))
+
+    def forward_raw(self, variables, images):
+        return self.net.apply(
+            cast_compute_params(variables, self.compute_dtype),
+            self.preprocessor(images))
+
+    def _flatten(self, maps, last):
+        b = maps[0].shape[0]
+        return jnp.concatenate([m.reshape(b, -1, last) for m in maps],
+                               axis=1).astype(jnp.float32)
+
+    def loss(self, variables, batch):
+        images = batch['images']
+        ctx = self.point_context(images.shape[1:3])
+        cls_lvl, init_lvl, refine_lvl, moment = self.forward_raw(
+            variables, images)
+        cls_flat = self._flatten(cls_lvl, self.num_classes)
+        init_flat = self._flatten(init_lvl, 2 * 9)
+        refine_flat = self._flatten(refine_lvl, 2 * 9)
+        init_boxes = pts_to_img_boxes(ctx, init_flat, moment)
+        refine_boxes = pts_to_img_boxes(ctx, refine_flat, moment)
+        targets = reppoints_targets(
+            ctx, jax.lax.stop_gradient(init_boxes), batch['gt'],
+            self.num_classes)
+        return reppoints_loss(ctx, cls_flat, init_boxes, refine_boxes,
+                              targets, self.num_classes)
+
+    def predict(self, variables, batch, rescale=True):
+        images = batch['images']
+        ctx = self.point_context(images.shape[1:3])
+        cls_lvl, _, refine_lvl, moment = self.forward_raw(variables, images)
+        cls_lvl = [c.astype(jnp.float32) for c in cls_lvl]
+        refine_flat = self._flatten(refine_lvl, 2 * 9)
+        boxes = pts_to_img_boxes(ctx, refine_flat, moment)
+        return reppoints_predict(ctx, cls_lvl, boxes, batch['meta'],
+                                 self.test_cfg,
+                                 num_classes=self.num_classes,
+                                 rescale=rescale)

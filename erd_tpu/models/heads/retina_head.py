@@ -43,6 +43,8 @@ class RetinaHeadNet(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 4
     num_levels: int = 5
+    reg_relu: bool = False  # FSAF: TBLR outputs must be positive
+    reg_bias_init: float = 0.0  # FSAF uses 0.25 (fsaf_head.py:53-67)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
@@ -66,6 +68,8 @@ class RetinaHeadNet(nn.Module):
         retina_reg = nn.Conv(self.num_base_anchors * 4, (3, 3),
                              padding=[torch_pad(3)] * 2,
                              kernel_init=nn.initializers.normal(0.01),
+                             bias_init=nn.initializers.constant(
+                                 self.reg_bias_init),
                              name='retina_reg')
         cls_out, reg_out = [], []
         for x in feats:
@@ -76,7 +80,8 @@ class RetinaHeadNet(nn.Module):
             for conv in convs_reg:
                 r = nn.relu(conv(r))
             cls_out.append(retina_cls(c))
-            reg_out.append(retina_reg(r).astype(jnp.float32))
+            reg = retina_reg(r).astype(jnp.float32)
+            reg_out.append(nn.relu(reg) if self.reg_relu else reg)
         return cls_out, reg_out
 
 

@@ -79,3 +79,29 @@ def corner_pool(x, direction):
     if direction == 'left':
         return jnp.flip(jax.lax.cummax(jnp.flip(x, w_ax), axis=w_ax), w_ax)
     raise ValueError(direction)
+
+
+def nms_match(boxes, scores, iou_threshold, valid_mask=None):
+    """Static-shape mmcv.ops.nms_match: greedy NMS grouping.
+
+    Returns (keep_mask, group_leader): group_leader[i] is the index of the
+    kept box whose greedy group box i joined (leaders map to themselves).
+    Equivalence to the sequential reference: in greedy NMS a box is removed
+    from the pool by the FIRST (highest-scored) kept box overlapping it
+    above the threshold, so leader(i) = argmax-score kept j with
+    IoU(i, j) > thr. Invalid slots get leader -1.
+    """
+    from .nms import nms_mask
+    from ..structures.boxes import bbox_overlaps
+
+    if valid_mask is None:
+        valid_mask = jnp.ones(boxes.shape[0], bool)
+    keep = nms_mask(boxes, scores, iou_threshold, valid_mask=valid_mask)
+    iou = bbox_overlaps(boxes, boxes)
+    # candidate leaders: kept boxes with IoU > thr (self-IoU 1 > thr covers
+    # the leader itself)
+    cand = keep[None, :] & (iou > iou_threshold) & valid_mask[:, None]
+    s = jnp.where(cand, scores[None, :], -jnp.inf)
+    leader = s.argmax(axis=1)
+    has = jnp.isfinite(s.max(axis=1)) & valid_mask
+    return keep, jnp.where(has, leader, -1)

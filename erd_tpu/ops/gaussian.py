@@ -102,3 +102,78 @@ def local_maximum(heat, kernel=3):
         heat, -jnp.inf, jax.lax.max, (kernel, kernel, 1), (1, 1, 1),
         [(pad, pad), (pad, pad), (0, 0)])
     return jnp.where(hmax == heat, heat, 0.0)
+
+
+def render_corner_targets(gt_bboxes, gt_labels, gt_mask, feat_hw,
+                          num_classes, ratio, min_overlap=0.3):
+    """CornerNet corner targets for ONE image, fully static
+    (reference dense_heads/corner_head.py:337-500 without the python loops).
+
+    Args:
+        gt_bboxes: (G, 4) xyxy in IMAGE units (padded).
+        gt_labels/gt_mask: (G,) padded.
+        feat_hw: static (H, W) of the stride-4 corner map.
+        ratio: (2,) (w_ratio, h_ratio) = feat/img.
+    Returns dict with tl/br heatmaps (H, W, C), offsets (H, W, 2), offset
+    weights (H, W, 1), and the integer corner coords (G, 2) [x, y] used to
+    gather embeddings for the AE loss.
+    """
+    fh, fw = feat_hw
+    ys = jnp.arange(fh, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(fw, dtype=jnp.float32)[None, :]
+
+    sl = gt_bboxes[:, 0] * ratio[0]
+    st = gt_bboxes[:, 1] * ratio[1]
+    sr = gt_bboxes[:, 2] * ratio[0]
+    sb = gt_bboxes[:, 3] * ratio[1]
+    li = jnp.minimum(sl, fw - 1).astype(jnp.int32)
+    ri = jnp.minimum(sr, fw - 1).astype(jnp.int32)
+    ti = jnp.minimum(st, fh - 1).astype(jnp.int32)
+    bi = jnp.minimum(sb, fh - 1).astype(jnp.int32)
+    bw = jnp.ceil(sr - sl)
+    bh = jnp.ceil(sb - st)
+    radius = jnp.clip(jnp.floor(gaussian_radius(bh, bw, min_overlap)),
+                      0.0, None).astype(jnp.int32)
+
+    tl_heat = jnp.zeros((fh, fw, num_classes), jnp.float32)
+    br_heat = jnp.zeros((fh, fw, num_classes), jnp.float32)
+    tl_off = jnp.zeros((fh, fw, 2), jnp.float32)
+    br_off = jnp.zeros((fh, fw, 2), jnp.float32)
+    tl_w = jnp.zeros((fh, fw, 1), jnp.float32)
+    br_w = jnp.zeros((fh, fw, 1), jnp.float32)
+
+    def gauss(cx, cy, r):
+        sigma = (2.0 * r + 1.0) / 6.0
+        dy = ys - cy
+        dx = xs - cx
+        g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma + 1e-12))
+        return jnp.where((jnp.abs(dy) <= r) & (jnp.abs(dx) <= r), g, 0.0)
+
+    def body(j, carry):
+        tl_heat, br_heat, tl_off, br_off, tl_w, br_w = carry
+        ok = gt_mask[j]
+        lab = jnp.clip(gt_labels[j], 0, num_classes - 1)
+        r = radius[j]
+        g_tl = jnp.where(ok, gauss(li[j], ti[j], r), 0.0)
+        g_br = jnp.where(ok, gauss(ri[j], bi[j], r), 0.0)
+        tl_heat = tl_heat.at[:, :, lab].max(g_tl)
+        br_heat = br_heat.at[:, :, lab].max(g_br)
+        at_tl = (ys == ti[j]) & (xs == li[j]) & ok
+        at_br = (ys == bi[j]) & (xs == ri[j]) & ok
+        tl_off = jnp.where(
+            at_tl[..., None],
+            jnp.stack([sl[j] - li[j], st[j] - ti[j]])[None, None], tl_off)
+        br_off = jnp.where(
+            at_br[..., None],
+            jnp.stack([sr[j] - ri[j], sb[j] - bi[j]])[None, None], br_off)
+        tl_w = jnp.where(at_tl[..., None], 1.0, tl_w)
+        br_w = jnp.where(at_br[..., None], 1.0, br_w)
+        return tl_heat, br_heat, tl_off, br_off, tl_w, br_w
+
+    tl_heat, br_heat, tl_off, br_off, tl_w, br_w = jax.lax.fori_loop(
+        0, gt_bboxes.shape[0], body,
+        (tl_heat, br_heat, tl_off, br_off, tl_w, br_w))
+    return dict(tl_heat=tl_heat, br_heat=br_heat, tl_off=tl_off,
+                br_off=br_off, tl_w=tl_w, br_w=br_w,
+                tl_xy=jnp.stack([li, ti], -1),
+                br_xy=jnp.stack([ri, bi], -1))

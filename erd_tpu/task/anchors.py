@@ -30,6 +30,8 @@ class AnchorGenerator:
     octave_base_scale: int = 8
     scales_per_octave: int = 1
     center_offset: float = 0.0
+    # explicit scale list (YOLOF: scales=[1,2,4,8,16]); overrides octaves
+    scales: Tuple[float, ...] = None
 
     @property
     def num_levels(self):
@@ -37,14 +39,19 @@ class AnchorGenerator:
 
     @property
     def num_base_anchors(self):
+        if self.scales is not None:
+            return len(self.ratios) * len(self.scales)
         return len(self.ratios) * self.scales_per_octave
 
     def base_anchors(self, stride):
         """(A, 4) base anchors for one stride, centered at center_offset*stride."""
-        octave_scales = np.array(
-            [2**(i / self.scales_per_octave)
-             for i in range(self.scales_per_octave)])
-        scales = octave_scales * self.octave_base_scale
+        if self.scales is not None:
+            scales = np.asarray(self.scales, np.float64)
+        else:
+            octave_scales = np.array(
+                [2**(i / self.scales_per_octave)
+                 for i in range(self.scales_per_octave)])
+            scales = octave_scales * self.octave_base_scale
         anchors = []
         cx = self.center_offset * stride
         cy = self.center_offset * stride

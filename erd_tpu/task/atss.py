@@ -44,7 +44,8 @@ class AssignResult:
 
 
 def atss_assign(anchors, num_level_anchors: Sequence[int], gt_bboxes,
-                gt_labels, gt_mask, valid_flags=None, topk=9):
+                gt_labels, gt_mask, valid_flags=None, topk=9,
+                overlap_override=None):
     """Assign one image's anchors to padded ground truth.
 
     Args:
@@ -55,12 +56,17 @@ def atss_assign(anchors, num_level_anchors: Sequence[int], gt_bboxes,
         gt_mask: (G,) bool validity of the padding slots.
         valid_flags: optional (N,) bool anchor validity.
         topk: candidates per level per gt.
+        overlap_override: optional (N, G) matrix replacing the anchor IoU
+            (DDOD's dynamic-cost ATSS: cls_prob^(1-a) * pred_iou^a,
+            reference atss_assigner.py:142-159); candidate selection still
+            uses anchor-center distances.
     """
     n = anchors.shape[0]
     g = gt_bboxes.shape[0]
     assert sum(num_level_anchors) == n
 
-    overlaps = bbox_overlaps(anchors, gt_bboxes)  # (N, G)
+    overlaps = bbox_overlaps(anchors, gt_bboxes) \
+        if overlap_override is None else overlap_override  # (N, G)
     gt_centers = bbox_center(gt_bboxes)  # (G, 2)
     anchor_centers = bbox_center(anchors)  # (N, 2)
     distances = jnp.sqrt(

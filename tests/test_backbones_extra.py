@@ -1,0 +1,121 @@
+"""Forward-shape + invariant tests for the new backbones
+(MobileNetV2 / Res2Net / RegNet / HRNet / Hourglass) and the new necks
+(BFP / HRFPN / FPN_CARAFE / DilatedEncoder)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _img(h=64, w=64, c=3):
+    return jnp.asarray(
+        np.random.RandomState(0).randn(1, h, w, c), jnp.float32)
+
+
+def test_mobilenet_v2_shapes():
+    from erd_tpu.models.backbones import MobileNetV2
+    m = MobileNetV2()
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    # strides 4, 8, 16, 32; channels 24, 32, 96, 1280
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert [o.shape[-1] for o in outs] == [24, 32, 96, 1280]
+
+
+def test_res2net_shapes_and_split_structure():
+    from erd_tpu.models.backbones import Res2Net
+    m = Res2Net(depth=50)
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    # Bottle2neck has scales-1 = 3 hierarchical 3x3 convs
+    p = v['params']['layer1_block0']
+    assert 'conv2_0' in p and 'conv2_2' in p and 'conv2_3' not in p
+
+
+def test_regnet_width_generation_matches_reference_values():
+    from erd_tpu.models.backbones.regnet import regnet_stages
+    widths, depths, groups = regnet_stages('regnetx_3.2gf')
+    # published regnetx_3.2gf stage widths/depths (pycls)
+    assert widths == [96, 192, 432, 1008]
+    assert depths == [2, 6, 15, 2]
+    assert sum(depths) == 25
+
+
+def test_regnet_forward():
+    from erd_tpu.models.backbones import RegNet
+    m = RegNet(arch='regnetx_400mf')
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    from erd_tpu.models.backbones.regnet import regnet_stages
+    widths, _, _ = regnet_stages('regnetx_400mf')
+    assert [o.shape[-1] for o in outs] == widths
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_hrnet_branches():
+    from erd_tpu.models.backbones import HRNet
+    m = HRNet(width=18, num_modules=(1, 1, 1))  # light for test
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [18, 36, 72, 144]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_hrfpn_on_hrnet():
+    from erd_tpu.models.backbones import HRNet
+    from erd_tpu.models.necks.pyramid_extras import HRFPN
+    m = HRNet(width=18, num_modules=(1, 1, 1))
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    neck = HRFPN(out_channels=32, num_outs=5)
+    nv = neck.init(jax.random.PRNGKey(1), feats)
+    outs = neck.apply(nv, feats)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 32 for o in outs)
+
+
+def test_hourglass_two_stacks():
+    from erd_tpu.models.backbones import HourglassNet
+    m = HourglassNet(downsample_times=2, num_stacks=2,
+                     stage_channels=(16, 16, 24), stage_blocks=(1, 1, 1),
+                     feat_channel=16)
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs, _ = m.apply(v, x, train=True, mutable=['batch_stats'])
+    assert len(outs) == 2
+    assert all(o.shape == (1, 16, 16, 16) for o in outs)
+
+
+def test_bfp_preserves_shapes_and_residual():
+    from erd_tpu.models.necks.pyramid_extras import BFP
+    feats = tuple(
+        jnp.asarray(np.random.RandomState(i).randn(1, 2 ** (4 - i),
+                                                   2 ** (4 - i), 8),
+                    jnp.float32) for i in range(4))
+    neck = BFP(num_levels=4, refine_level=1, refine_type='conv')
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert [o.shape for o in outs] == [f.shape for f in feats]
+
+
+def test_fpn_carafe_shapes():
+    from erd_tpu.models.necks.pyramid_extras import FPNCARAFE
+    feats = tuple(
+        jnp.asarray(np.random.RandomState(i).randn(
+            1, 16 // 2 ** i, 16 // 2 ** i, 8 * 2 ** i), jnp.float32)
+        for i in range(4))
+    neck = FPNCARAFE(in_channels=(8, 16, 32, 64), out_channels=16,
+                     num_outs=5)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert len(outs) == 5
+    assert all(o.shape[-1] == 16 for o in outs)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]

@@ -1,0 +1,137 @@
+"""FSAF + FoveaBox semantics tests.
+
+Pins: TBLR coder roundtrip vs hand math (tblr_bbox_coder.py:95-226), the
+center-region core/shadow assignment (center_region_assigner.py), FSAF's
+online feature-selection (each gt keeps exactly one level's positives,
+fsaf_head.py:278-340), and the fovea region painting + log targets
+(fovea_head.py:333-384).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from erd_tpu.structures import GTInstances
+from erd_tpu.task.center_region import center_region_assign
+from erd_tpu.task.coder import TBLRBBoxCoder
+
+
+def test_tblr_roundtrip_and_values():
+    coder = TBLRBBoxCoder(normalizer=4.0)
+    priors = jnp.asarray([[0., 0., 8., 8.], [16., 16., 48., 48.]])
+    gts = jnp.asarray([[1., 2., 7., 6.], [10., 20., 50., 40.]])
+    enc = coder.encode(priors, gts)
+    # first prior: center (4,4), w=h=8; t=(4-2)/8/4, b=(6-4)/8/4,
+    # l=(4-1)/8/4, r=(7-4)/8/4
+    np.testing.assert_allclose(
+        np.asarray(enc[0]),
+        [2 / 8 / 4, 2 / 8 / 4, 3 / 8 / 4, 3 / 8 / 4], rtol=1e-6)
+    dec = coder.decode(priors, enc)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(gts), atol=1e-4)
+
+
+def test_tblr_decode_clips():
+    coder = TBLRBBoxCoder(normalizer=4.0)
+    priors = jnp.asarray([[0., 0., 8., 8.]])
+    tblr = jnp.asarray([[10., 10., 10., 10.]])
+    dec = coder.decode(priors, tblr, max_shape=(32, 48))
+    assert float(dec[0, 0]) == 0.0 and float(dec[0, 1]) == 0.0
+    assert float(dec[0, 2]) == 48.0 and float(dec[0, 3]) == 32.0
+
+
+def test_center_region_smallest_gt_wins():
+    # prior centered at (5,5); two gts both covering it; smaller wins
+    priors = jnp.asarray([[0., 0., 10., 10.]])
+    gt_b = jnp.asarray([[0., 0., 100., 100.], [0., 0., 20., 20.]])
+    gt_l = jnp.asarray([3, 1], jnp.int32)
+    gt_m = jnp.asarray([True, True])
+    res = center_region_assign(priors, gt_b, gt_l, gt_m, 1.0, 1.0)
+    assert bool(res.pos_mask[0])
+    assert int(res.gt_idx[0]) == 1
+    assert int(res.labels[0]) == 1
+
+
+def test_center_region_outside_core_is_negative():
+    # prior center (50,50) inside gt but outside the 0.2-shrunk core
+    priors = jnp.asarray([[45., 45., 55., 55.]])
+    gt_b = jnp.asarray([[0., 0., 60., 60.]])  # core: [24,24,36,36]
+    res = center_region_assign(priors, gt_b, jnp.asarray([0]),
+                               jnp.asarray([True]), 0.2, 0.2)
+    assert not bool(res.pos_mask[0])
+    # but it overlaps the shadow region? IoF(prior, core)=0 -> no shadow
+    # with equal scales shadow==core minus center condition
+    assert not bool(res.shadow[0, 0])
+
+
+def test_fsaf_level_selection_single_level_per_gt():
+    from erd_tpu.models.detectors.fsaf import FSAFDetector
+    from erd_tpu.models.heads.fsaf_head import fsaf_targets, FSAFTrainConfig
+    det = FSAFDetector(num_classes=4, depth=18)
+    ctx = det.anchor_context((64, 96))
+    gt = GTInstances.pad(
+        np.asarray([[8., 8., 56., 48.]], np.float32),
+        np.asarray([2], np.int32), 8)
+    gt = jax.tree.map(lambda x: jnp.asarray(x)[None], gt)
+    t = fsaf_targets(ctx, gt, 4, FSAFTrainConfig())
+    assert int(t.pos_mask.sum()) > 0
+    # positives spread over multiple levels before selection
+    lvl = np.repeat(np.arange(len(ctx.num_level_anchors)),
+                    ctx.num_level_anchors)
+    pos_lvls = set(lvl[np.asarray(t.pos_mask[0])])
+    assert len(pos_lvls) >= 2  # 48x40 gt hits several stride ranges
+
+
+def test_fovea_targets_match_reference_painting():
+    from erd_tpu.models.heads.fcos_head import FCOSPointContext
+    from erd_tpu.models.heads.fovea_head import fovea_targets
+    ctx = FCOSPointContext.build((64, 96))
+    # gt sqrt-area ~ 43 -> hits level0 (1..64) and level1 (32..128)
+    gt = GTInstances.pad(
+        np.asarray([[16., 16., 62., 56.]], np.float32),
+        np.asarray([1], np.int32), 8)
+    gt = jax.tree.map(lambda x: jnp.asarray(x)[None], gt)
+    t = fovea_targets(ctx, gt, 4)
+    pos = np.asarray(t.pos_mask[0])
+    labels = np.asarray(t.labels[0])
+    assert pos.sum() > 0
+    assert set(labels[pos]) == {1}
+    # all bbox targets within the clamp range log([1/16, 16])
+    bt = np.asarray(t.bbox_targets[0])[pos]
+    assert bt.min() >= np.log(1 / 16) - 1e-5
+    assert bt.max() <= np.log(16.0) + 1e-5
+    # reference painting: compute expected level-0 cells by hand
+    sizes = ctx.featmap_sizes
+    s, sigma, base = 8, 0.4, 16
+    gx1, gy1, gx2, gy2 = 16 / s, 16 / s, 62 / s, 56 / s
+    hw, hh = (gx2 - gx1) / 2, (gy2 - gy1) / 2
+    px1 = int(np.clip(np.ceil(gx1 + (1 - sigma) * hw - 0.5), 0,
+                      sizes[0][1] - 1))
+    px2 = int(np.clip(np.floor(gx1 + (1 + sigma) * hw - 0.5), 0,
+                      sizes[0][1] - 1))
+    py1 = int(np.clip(np.ceil(gy1 + (1 - sigma) * hh - 0.5), 0,
+                      sizes[0][0] - 1))
+    py2 = int(np.clip(np.floor(gy1 + (1 + sigma) * hh - 0.5), 0,
+                      sizes[0][0] - 1))
+    lvl0 = pos[:sizes[0][0] * sizes[0][1]].reshape(sizes[0])
+    exp = np.zeros(sizes[0], bool)
+    exp[py1:py2 + 1, px1:px2 + 1] = True
+    np.testing.assert_array_equal(lvl0, exp)
+
+
+def test_fovea_decode_roundtrip():
+    from erd_tpu.models.heads.fcos_head import FCOSPointContext
+    from erd_tpu.models.heads.fovea_head import fovea_targets
+    # encode a gt then decode at a positive point: recovered box close to gt
+    ctx = FCOSPointContext.build((64, 96))
+    gt_box = np.asarray([16., 16., 62., 56.], np.float32)
+    gt = GTInstances.pad(gt_box[None], np.asarray([0], np.int32), 8)
+    gt = jax.tree.map(lambda x: jnp.asarray(x)[None], gt)
+    t = fovea_targets(ctx, gt, 4)
+    pos = np.asarray(t.pos_mask[0])
+    idx = int(np.flatnonzero(pos)[0])
+    base = 16.0 if idx < ctx.num_level_points[0] else 32.0
+    pt = ctx.points[idx]
+    e = np.exp(np.asarray(t.bbox_targets[0][idx]))
+    rec = [pt[0] - base * e[0], pt[1] - base * e[1],
+           pt[0] + base * e[2], pt[1] + base * e[3]]
+    np.testing.assert_allclose(rec, gt_box, atol=1.0)

@@ -158,3 +158,114 @@ def test_weight_reduce_protocol():
         rtol=1e-6)
     np.testing.assert_allclose(
         float(weight_reduce_loss(loss, w, 'mean', 2.0)), 2.0, rtol=1e-5)
+
+
+def _rand_boxes(rng, n, lo=0, hi=100):
+    x1 = rng.uniform(lo, hi - 10, n)
+    y1 = rng.uniform(lo, hi - 10, n)
+    w = rng.uniform(2, 30, n)
+    h = rng.uniform(2, 30, n)
+    return np.stack([x1, y1, x1 + w, y1 + h], -1).astype(np.float32)
+
+
+def test_bounded_iou_matches_torch(rng):
+    from erd_tpu.losses import bounded_iou_loss
+    pred = _rand_boxes(rng, 16)
+    target = _rand_boxes(rng, 16)
+    got = np.asarray(bounded_iou_loss(jnp.asarray(pred),
+                                      jnp.asarray(target),
+                                      reduction='none'))
+    tp, tt = torch.as_tensor(pred), torch.as_tensor(target)
+    pcx = (tp[:, 0] + tp[:, 2]) * 0.5
+    pcy = (tp[:, 1] + tp[:, 3]) * 0.5
+    pw = tp[:, 2] - tp[:, 0]
+    ph = tp[:, 3] - tp[:, 1]
+    tcx = (tt[:, 0] + tt[:, 2]) * 0.5
+    tcy = (tt[:, 1] + tt[:, 3]) * 0.5
+    tw = tt[:, 2] - tt[:, 0]
+    th = tt[:, 3] - tt[:, 1]
+    dx, dy = tcx - pcx, tcy - pcy
+    eps = 1e-3
+    ldx = 1 - torch.clamp((tw - 2 * dx.abs()) / (tw + 2 * dx.abs() + eps),
+                          min=0)
+    ldy = 1 - torch.clamp((th - 2 * dy.abs()) / (th + 2 * dy.abs() + eps),
+                          min=0)
+    ldw = 1 - torch.min(tw / (pw + eps), pw / (tw + eps))
+    ldh = 1 - torch.min(th / (ph + eps), ph / (th + eps))
+    comb = torch.stack([ldx, ldy, ldw, ldh], -1)
+    beta = 0.2
+    want = torch.where(comb < beta, 0.5 * comb * comb / beta,
+                       comb - 0.5 * beta).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_eiou_matches_torch_formula(rng):
+    from erd_tpu.losses import eiou_loss
+    pred = _rand_boxes(rng, 16)
+    target = _rand_boxes(rng, 16)
+    got = np.asarray(eiou_loss(jnp.asarray(pred), jnp.asarray(target),
+                               reduction='none'))
+    tp, tt = torch.as_tensor(pred), torch.as_tensor(target)
+    px1, py1, px2, py2 = tp[:, 0], tp[:, 1], tp[:, 2], tp[:, 3]
+    tx1, ty1, tx2, ty2 = tt[:, 0], tt[:, 1], tt[:, 2], tt[:, 3]
+    ex1, ey1 = torch.min(px1, tx1), torch.min(py1, ty1)
+    ix1, iy1 = torch.max(px1, tx1), torch.max(py1, ty1)
+    ix2, iy2 = torch.min(px2, tx2), torch.min(py2, ty2)
+    xmin, ymin = torch.min(ix1, ix2), torch.min(iy1, iy2)
+    xmax, ymax = torch.max(ix1, ix2), torch.max(iy1, iy2)
+    inter = (ix2 - ex1) * (iy2 - ey1) + (xmin - ex1) * (ymin - ey1) - \
+        (ix1 - ex1) * (ymax - ey1) - (xmax - ex1) * (iy1 - ey1)
+    union = (px2 - px1) * (py2 - py1) + (tx2 - tx1) * (ty2 - ty1) - \
+        inter + 1e-7
+    ious = 1 - inter / union
+    sp = 0.1
+    sign = (ious < sp).float()
+    want = (0.5 * sign * ious * ious / sp +
+            (1 - sign) * (ious - 0.5 * sp)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_associative_embedding_invariants():
+    from erd_tpu.losses import associative_embedding_loss
+    # identical embeddings per object -> zero pull; far apart means -> no
+    # push below margin
+    tl = jnp.asarray([0.0, 5.0, 0.0])
+    br = jnp.asarray([0.0, 5.0, 0.0])
+    m = jnp.asarray([True, True, False])
+    pull, push = associative_embedding_loss(tl, br, m, 1.0, 1.0)
+    assert float(pull) == 0.0
+    assert float(push) == 0.0  # |0-5| = 5 > margin 1
+    # same mean embeddings -> push = margin per off-diag pair
+    tl2 = jnp.asarray([1.0, 1.0])
+    br2 = jnp.asarray([1.0, 1.0])
+    m2 = jnp.asarray([True, True])
+    pull2, push2 = associative_embedding_loss(tl2, br2, m2, 1.0, 1.0)
+    assert float(pull2) == 0.0
+    np.testing.assert_allclose(float(push2), 1.0, rtol=1e-6)
+    # padded slots do not contribute
+    tl3 = jnp.asarray([1.0, 99.0])
+    m3 = jnp.asarray([True, False])
+    pull3, push3 = associative_embedding_loss(tl3, tl3, m3, 1.0, 1.0)
+    assert float(pull3) == 0.0 and float(push3) == 0.0
+
+
+def test_isr_p_and_carl_protocol():
+    from erd_tpu.losses import carl_loss, isr_p_weights
+    pos = jnp.asarray([True, True, True, False])
+    labels = jnp.asarray([0, 0, 1, 2])
+    ious = jnp.asarray([0.9, 0.5, 0.7, 0.0])
+    w = np.asarray(isr_p_weights(None, ious, pos, labels, num_classes=3,
+                                 k=2.0, bias=0.0))
+    # higher-IoU positive of a class outranks the lower one
+    assert w[0] > w[1]
+    # single-class positive gets full importance
+    assert w[2] == max(w)
+    # weighted positive count preserved
+    np.testing.assert_allclose(w[:3].sum(), 3.0, rtol=1e-5)
+    assert w[3] == 1.0  # negatives untouched
+
+    probs = jnp.asarray([0.9, 0.1, 0.5, 0.0])
+    reg = jnp.asarray([1.0, 1.0, 1.0, 5.0])
+    loss = float(carl_loss(probs, reg, pos, k=1.0, bias=0.2, avg_factor=3))
+    # mean of normalized factors is 1 -> loss == mean reg over pos
+    np.testing.assert_allclose(loss, 1.0, rtol=1e-5)

@@ -131,3 +131,35 @@ def test_mask_rcnn_segm_scoring_end_to_end(mrcnn):
             assert set(row) >= {'image_id', 'score', 'category_id',
                                 'segmentation'}
             assert isinstance(row['segmentation']['counts'], str)
+
+
+def test_mask_scoring_rcnn_loss_and_rescoring():
+    """MS R-CNN: mask-IoU branch trains at positives and rescores masks
+    (maskiou_head.py)."""
+    from erd_tpu.models.detectors.mask_scoring_rcnn import (
+        MaskScoringRCNNDetector, mask_iou_targets)
+    import jax.numpy as jnp
+    # unit: perfect mask prediction on a proposal == gt box -> target ~ 1
+    pred_logits = jnp.full((2, 28, 28), 10.0)   # sigmoid ~ 1
+    tgt_masks = jnp.ones((2, 28, 28))
+    rois = jnp.asarray([[0., 0., 10., 10.], [0., 0., 10., 10.]])
+    t = mask_iou_targets(pred_logits, tgt_masks, rois, rois,
+                         jnp.asarray([True, False]))
+    assert float(t[0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(t[1]) == 0.0
+    # proposal covering half the gt box -> full gt area doubles -> iou ~ .5
+    rois2 = jnp.asarray([[0., 0., 5., 10.]])
+    t2 = mask_iou_targets(pred_logits[:1], tgt_masks[:1], rois2,
+                          jnp.asarray([[0., 0., 10., 10.]]),
+                          jnp.asarray([True]))
+    assert float(t2[0]) == pytest.approx(0.5, abs=0.02)
+
+    det = MaskScoringRCNNDetector(num_classes=3, depth=18)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_mask_iou' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]

@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import torch
@@ -161,3 +162,80 @@ def test_corner_pool_directions():
     np.testing.assert_array_equal(left[:, 0], [3, 7, 11])
     right = np.asarray(corner_pool(x, 'right'))[0, :, :, 0]
     np.testing.assert_array_equal(right[:, 3], [3, 7, 11])
+
+
+def test_point_sample_matches_torch_grid_sample():
+    import torch
+    import torch.nn.functional as TF
+    from erd_tpu.ops import point_sample
+    rs = np.random.RandomState(3)
+    feat = rs.randn(7, 9, 4).astype(np.float32)
+    pts = rs.uniform(0.05, 0.95, (13, 2)).astype(np.float32)
+    got = np.asarray(point_sample(jnp.asarray(feat), jnp.asarray(pts)))
+    t_feat = torch.from_numpy(feat).permute(2, 0, 1)[None]
+    grid = torch.from_numpy(pts * 2 - 1).view(1, 1, -1, 2)
+    want = TF.grid_sample(t_feat, grid, mode='bilinear',
+                          padding_mode='zeros', align_corners=False)
+    want = want[0, :, 0].T.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_conv2d_zeroes_outside_mask():
+    import torch
+    import torch.nn.functional as TF
+    from erd_tpu.ops import masked_conv2d
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, 8, 10, 3).astype(np.float32)
+    wgt = rs.randn(3, 3, 3, 5).astype(np.float32)
+    mask = (rs.rand(1, 8, 10) > 0.5)
+    got = np.asarray(masked_conv2d(jnp.asarray(x), jnp.asarray(mask),
+                                   jnp.asarray(wgt)))
+    ref = TF.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                    torch.from_numpy(wgt).permute(3, 2, 0, 1),
+                    padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref * mask[..., None], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_nms_match_groups():
+    from erd_tpu.ops import nms_match
+    boxes = jnp.asarray([
+        [0., 0., 10., 10.],    # leader A (score .9)
+        [1., 1., 11., 11.],    # overlaps A -> group A
+        [50., 50., 60., 60.],  # leader B (score .8)
+        [51., 50., 61., 60.],  # overlaps B -> group B
+        [200., 200., 210., 210.],  # isolated leader C
+    ])
+    scores = jnp.asarray([0.9, 0.7, 0.8, 0.6, 0.5])
+    keep, leader = nms_match(boxes, scores, 0.5)
+    keep = np.asarray(keep)
+    leader = np.asarray(leader)
+    assert keep.tolist() == [True, False, True, False, True]
+    assert leader.tolist() == [0, 0, 2, 2, 4]
+
+
+def test_carafe_softmax_weights_preserve_constants():
+    from erd_tpu.ops.carafe import CARAFEPack
+    # constant input must stay constant under any softmax reassembly
+    # (interior pixels; border pixels see zero padding)
+    x = jnp.ones((1, 6, 6, 8))
+    m = CARAFEPack(channels=8, up_factor=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(m.apply(v, x))
+    assert y.shape == (1, 12, 12, 8)
+    inner = y[0, 4:-4, 4:-4]
+    np.testing.assert_allclose(inner, 1.0, atol=1e-5)
+
+
+def test_carafe_reassemble_identity_kernel():
+    from erd_tpu.ops.carafe import carafe_reassemble
+    rs = np.random.RandomState(5)
+    x = rs.randn(4, 5, 3).astype(np.float32)
+    k_up, up = 5, 2
+    # kernel = delta at the center tap -> pure nearest upsample
+    kern = np.zeros((8, 10, k_up * k_up), np.float32)
+    kern[:, :, (k_up * k_up) // 2] = 1.0
+    y = np.asarray(carafe_reassemble(jnp.asarray(x), jnp.asarray(kern),
+                                     up, k_up))
+    want = x.repeat(2, axis=0).repeat(2, axis=1)
+    np.testing.assert_allclose(y, want, rtol=1e-5)

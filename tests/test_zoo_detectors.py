@@ -20,7 +20,8 @@ from tests.test_models import make_batch
 
 # substrings marking loss terms that MUST be zero with no gt boxes
 _ZERO_ON_EMPTY = ('bbox', 'giou', 'centerness', 'dfl', '_xy', '_wh',
-                  'mask', 'dn_')
+                  'mask', 'dn_', 'pts', 'pull', 'push', 'offset', 'positive_bag',
+                  'loss_pos', 'loss_center')
 
 
 def _build(name):
@@ -49,6 +50,30 @@ def _build(name):
         'paa': lambda: _imp('paa', 'PAADetector')(num_classes=4,
                                                   depth=18),
         'fcos': lambda: FCOSDetector(num_classes=4, depth=18),
+        'fsaf': lambda: _imp('fsaf', 'FSAFDetector')(num_classes=4,
+                                                     depth=18),
+        'fovea': lambda: _imp('fovea', 'FoveaDetector')(num_classes=4,
+                                                        depth=18),
+        'yolof': lambda: _imp('yolof', 'YOLOFDetector')(num_classes=4,
+                                                        depth=18),
+        'reppoints': lambda: _imp('reppoints', 'RepPointsDetector')(
+            num_classes=4, depth=18),
+        'ddod': lambda: _imp('ddod', 'DDODDetector')(num_classes=4,
+                                                     depth=18),
+        'cornernet': lambda: _imp('cornernet', 'CornerNetDetector')(
+            num_classes=4, stage_channels=(16, 16, 24),
+            stage_blocks=(1, 1, 1), downsample_times=2, corner_topk=20),
+        'libra_rcnn': lambda: _imp('libra_rcnn', 'LibraRCNNDetector')(
+            num_classes=4, depth=18),
+        'sparse_rcnn': lambda: _imp('sparse_rcnn', 'SparseRCNNDetector')(
+            num_classes=4, depth=18, num_proposals=20, num_stages=2),
+        'free_anchor': lambda: _imp('free_anchor', 'FreeAnchorDetector')(
+            num_classes=4, depth=18, pre_anchor_topk=12),
+        'autoassign': lambda: _imp('autoassign', 'AutoAssignDetector')(
+            num_classes=4, depth=18),
+        'pisa_retinanet': lambda: _imp(
+            'pisa_retinanet', 'PISARetinaNetDetector')(num_classes=4,
+                                                       depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
         'cascade_rcnn': lambda: CascadeRCNNDetector(num_classes=4,
@@ -78,7 +103,9 @@ def _imp(mod, cls):
 
 
 FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
-            'fcos', 'atss',
+            'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
+            'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
+            'autoassign', 'pisa_retinanet',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
