@@ -85,6 +85,20 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'YOLACT':
+        from ..models.detectors.yolact import YOLACTDetector
+        return YOLACTDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CondInst':
+        from ..models.detectors.condinst import CondInstDetector
+        return CondInstDetector(test_cfg=test_cfg, **base)
+    if mtype == 'DynamicRCNN':
+        from ..models.detectors.dynamic_rcnn import DynamicRCNNDetector
+        return DynamicRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'HTC':
+        from ..models.detectors.htc import HTCDetector
+        return HTCDetector(
+            semantic_classes=model_cfg.get('semantic_classes', 183),
+            test_cfg=test_cfg, **base)
     if mtype == 'MaskScoringRCNN':
         from ..models.detectors.mask_scoring_rcnn import (
             MaskScoringRCNNDetector)

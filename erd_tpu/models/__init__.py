@@ -22,6 +22,10 @@ from .detectors.free_anchor import FreeAnchorDetector
 from .detectors.autoassign import AutoAssignDetector
 from .detectors.pisa_retinanet import PISARetinaNetDetector
 from .detectors.mask_scoring_rcnn import MaskScoringRCNNDetector
+from .detectors.htc import HTCDetector
+from .detectors.dynamic_rcnn import DynamicRCNNDetector
+from .detectors.condinst import CondInstDetector
+from .detectors.yolact import YOLACTDetector
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -36,7 +40,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
-    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

@@ -108,3 +108,73 @@ def test_cityscapes_metainfo():
     from erd_tpu.data.extra_datasets import CityscapesDataset
     assert CityscapesDataset.METAINFO['classes'][0] == 'person'
     assert len(CityscapesDataset.METAINFO['classes']) == 8
+
+
+def test_openimages_metric_protocol():
+    from erd_tpu.evaluation.openimages_metric import OpenImagesMetric
+    # hierarchy: class 1 is a child of class 0
+    rel = np.eye(3, dtype=bool)
+    rel[1, 0] = True
+    m = OpenImagesMetric(num_classes=3, relation_matrix=rel)
+    gt = np.asarray([[0., 0., 10., 10.]])
+    det = np.asarray([[0., 0., 10., 10.]])
+    # detection of child class 1 must also score as parent class 0
+    m.process(det, np.asarray([0.9]), np.asarray([1]), gt, np.asarray([1]))
+    r = m.compute()
+    assert r['classwise'][0] == pytest.approx(1.0)
+    assert r['classwise'][1] == pytest.approx(1.0)
+    assert r['mAP'] == pytest.approx(1.0)
+
+
+def test_openimages_group_of_single_tp():
+    from erd_tpu.evaluation.openimages_metric import OpenImagesMetric
+    m = OpenImagesMetric(num_classes=2)
+    grp = np.asarray([[0., 0., 100., 100.]])
+    dets = np.asarray([[10., 10., 20., 20.], [30., 30., 40., 40.],
+                       [200., 200., 210., 210.]])
+    m.process(dets, np.asarray([0.9, 0.8, 0.7]), np.asarray([0, 0, 0]),
+              grp, np.asarray([0]), group_of=np.asarray([True]))
+    r = m.compute()
+    # first det in the group = TP; second ignored; third = FP
+    # AP: 1 TP of 1 gt found at rank 1 -> precision 1 at recall 1; the FP
+    # comes after -> AP 1.0
+    assert r['classwise'][0] == pytest.approx(1.0)
+
+
+def test_openimages_verified_label_filtering():
+    from erd_tpu.evaluation.openimages_metric import OpenImagesMetric
+    m = OpenImagesMetric(num_classes=2)
+    gt = np.asarray([[0., 0., 10., 10.]])
+    dets = np.asarray([[0., 0., 10., 10.], [50., 50., 60., 60.]])
+    # class-1 detection dropped (unverified), not an FP
+    m.process(dets, np.asarray([0.9, 0.95]), np.asarray([0, 1]),
+              gt, np.asarray([0]), verified_labels=[0])
+    r = m.compute()
+    assert r['mAP'] == pytest.approx(1.0)
+    assert 1 not in r['classwise']
+
+
+def test_openimages_dataset_parsing(tmp_path):
+    import json as _json
+    from erd_tpu.data.openimages import OpenImagesDataset
+    (tmp_path / 'labels.csv').write_text('/m/01,cat\n/m/02,animal\n')
+    header = ('ImageID,Source,LabelName,Confidence,XMin,XMax,YMin,YMax,'
+              'IsOccluded,IsTruncated,IsGroupOf,IsDepiction,IsInside\n')
+    (tmp_path / 'boxes.csv').write_text(
+        header + 'img1,xclick,/m/01,1,0.1,0.5,0.2,0.6,0,0,0,0,0\n'
+        'img1,xclick,/m/01,1,0.0,1.0,0.0,1.0,0,0,1,0,0\n')
+    (tmp_path / 'meta.json').write_text(_json.dumps({'img1': [100, 200]}))
+    hierarchy = dict(LabelName='/m/0bl9f', Subcategory=[
+        dict(LabelName='/m/02', Subcategory=[dict(LabelName='/m/01')])])
+    (tmp_path / 'hier.json').write_text(_json.dumps(hierarchy))
+    ds = OpenImagesDataset(str(tmp_path / 'boxes.csv'),
+                           str(tmp_path / 'labels.csv'),
+                           hierarchy_file=str(tmp_path / 'hier.json'),
+                           meta_file=str(tmp_path / 'meta.json'))
+    assert ds.classes == ('cat', 'animal')
+    rec = ds[0]
+    np.testing.assert_allclose(rec.bboxes[0], [0.1 * 200, 0.2 * 100,
+                                               0.5 * 200, 0.6 * 100])
+    assert rec.group_of.tolist() == [False, True]
+    # cat (0) is a descendant of animal (1)
+    assert ds.relation_matrix[0, 1] and not ds.relation_matrix[1, 0]

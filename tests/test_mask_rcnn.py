@@ -163,3 +163,61 @@ def test_mask_scoring_rcnn_loss_and_rescoring():
         assert np.isfinite(float(v)), (k, losses)
     res, masks = det.predict_jit(variables, batch)
     assert masks.shape[:2] == res.bboxes.shape[:2]
+
+
+def test_htc_loss_and_predict():
+    """HTC: interleaved cascade+mask with info flow + semantic fusion
+    (htc_roi_head.py)."""
+    from erd_tpu.models.detectors.htc import HTCDetector
+    import jax.numpy as jnp
+    det = HTCDetector(num_classes=3, depth=18, semantic_classes=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    sem = np.zeros((2, 64, 96), np.uint8)
+    sem[:, 40:] = 5
+    batch['sem_seg'] = jnp.asarray(sem)
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_semantic' in losses
+    for s in range(3):
+        assert f'loss_mask_s{s}' in losses
+        assert f'loss_cls_s{s}' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+    assert masks.shape[2:] == (28, 28)
+
+
+def test_condinst_loss_and_predict():
+    """CondInst: dynamic-conv mask branch over FCOS positives
+    (condinst_head.py)."""
+    from erd_tpu.models.detectors.condinst import CondInstDetector
+    det = CondInstDetector(num_classes=3, depth=18, max_masks_to_train=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_mask' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    assert float(losses['loss_mask']) > 0  # a positive exists
+    res, masks = det.predict_jit(variables, batch)
+    # stride-4 mask frame: (H/4*2? no: stride-8 feats upsampled x2 -> H/4)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+    assert masks.shape[2:] == (16, 24)  # 64/4, 96/4
+
+
+def test_yolact_loss_and_predict():
+    """YOLACT: prototype+coefficient masks, OHEM CE, semantic aux
+    (yolact_head.py)."""
+    from erd_tpu.models.detectors.yolact import YOLACTDetector
+    det = YOLACTDetector(num_classes=3, depth=18, max_masks_to_train=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    for k in ('loss_cls', 'loss_bbox', 'loss_mask', 'loss_segm'):
+        assert k in losses
+        assert np.isfinite(float(losses[k])), (k, losses)
+    assert float(losses['loss_mask']) > 0
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+    assert masks.shape[2:] == (16, 24)  # P3/2 prototypes (stride 4)

@@ -74,6 +74,9 @@ def _build(name):
         'pisa_retinanet': lambda: _imp(
             'pisa_retinanet', 'PISARetinaNetDetector')(num_classes=4,
                                                        depth=18),
+        'dynamic_rcnn': lambda: _imp(
+            'dynamic_rcnn', 'DynamicRCNNDetector')(num_classes=4,
+                                                   depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
         'cascade_rcnn': lambda: CascadeRCNNDetector(num_classes=4,
@@ -105,7 +108,7 @@ def _imp(mod, cls):
 FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
-            'autoassign', 'pisa_retinanet',
+            'autoassign', 'pisa_retinanet', 'dynamic_rcnn',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
