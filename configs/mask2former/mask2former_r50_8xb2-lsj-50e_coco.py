@@ -1,0 +1,14 @@
+# Mask2Former instance segmentation
+# (reference configs/mask2former/mask2former_r50_8xb2-lsj-50e_coco.py).
+_base_ = [
+    '../_base_/datasets/coco_instance.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='Mask2Former', num_classes=80, depth=50,
+             num_queries=100, num_decoder_layers=9,
+             compute_dtype='bfloat16',
+             test_cfg=dict(max_per_img=100))
+optim_wrapper = dict(optimizer=dict(type='AdamW', lr=0.0001,
+                                    weight_decay=0.05),
+                     paramwise_cfg=dict(backbone_lr_mult=0.1),
+                     clip_grad=dict(max_norm=0.01, norm_type=2))

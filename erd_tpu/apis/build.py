@@ -85,6 +85,18 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'LAD':
+        from ..models.detectors.lad import LADDetector
+        return LADDetector(topk=train.get('topk', 9),
+                           test_cfg=test_cfg, **base)
+    if mtype in ('Mask2Former', 'MaskFormer'):
+        from ..models.detectors.mask2former import Mask2FormerDetector
+        return Mask2FormerDetector(
+            num_queries=model_cfg.get('num_queries', 100),
+            num_decoder_layers=model_cfg.get(
+                'num_decoder_layers', 9 if mtype == 'Mask2Former' else 6),
+            masked_attention=(mtype == 'Mask2Former'),
+            max_per_img=test.get('max_per_img', 100), **base)
     if mtype == 'YOLACT':
         from ..models.detectors.yolact import YOLACTDetector
         return YOLACTDetector(test_cfg=test_cfg, **base)

@@ -26,6 +26,8 @@ from .detectors.htc import HTCDetector
 from .detectors.dynamic_rcnn import DynamicRCNNDetector
 from .detectors.condinst import CondInstDetector
 from .detectors.yolact import YOLACTDetector
+from .detectors.mask2former import Mask2FormerDetector
+from .detectors.lad import LADDetector
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -40,7 +42,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
-    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

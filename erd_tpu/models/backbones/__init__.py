@@ -2,7 +2,9 @@ from .csp_darknet import CSPDarknet
 from .darknet import Darknet
 from .hourglass import HourglassNet
 from .hrnet import HRNet
+from .efficientnet import EfficientNet
 from .mobilenet_v2 import MobileNetV2
+from .pvt import PVTv2
 from .regnet import RegNet
 from .res2net import Res2Net
 from .resnet import ResNet
@@ -12,5 +14,5 @@ from .swin import SwinTransformer
 
 __all__ = [
     'ResNet', 'ResNeXt', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet',
-    'MobileNetV2', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer',
+    'MobileNetV2', 'PVTv2', 'EfficientNet', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer',
 ]

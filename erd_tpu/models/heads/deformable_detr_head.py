@@ -74,10 +74,12 @@ class MSDeformAttnLayer(nn.Module):
 class DeformableEncoderLayer(nn.Module):
     embed_dim: int = 256
     ffn_dim: int = 1024
+    num_levels: int = 4
 
     @nn.compact
     def __call__(self, tokens, value_levels_b, ref_points, pos):
-        y = MSDeformAttnLayer(self.embed_dim, name='self_attn')(
+        y = MSDeformAttnLayer(self.embed_dim, num_levels=self.num_levels,
+                              name='self_attn')(
             tokens + pos, value_levels_b, ref_points)
         x = nn.LayerNorm(name='norm1')(tokens + y)
         y = nn.Dense(self.ffn_dim, name='ffn1')(x)

@@ -179,3 +179,35 @@ def paa_loss(ctx: AnchorContext, cls_scores, bbox_preds, iou_preds, gt,
         'loss_bbox': 1.3 * l_box.sum() / num_pos,
         'loss_iou': 0.5 * l_iou.sum() / num_pos,
     }
+
+
+def paa_loss_with_assignment(ctx: AnchorContext, cls_scores, bbox_preds,
+                             iou_preds, gt, pos, gt_idx, coder,
+                             num_classes):
+    """PAA losses with an EXTERNALLY supplied assignment (LAD: the frozen
+    teacher's GMM split, reference lad_head.py loss)."""
+    anchors = jnp.asarray(ctx.anchors)
+
+    def single(cls_s, reg, iou_p, pos_i, gidx_i, gt_b, gt_l, gt_m):
+        decoded = coder.decode(anchors, reg)
+        labels = jnp.where(pos_i, jnp.clip(gt_l[gidx_i], 0,
+                                           num_classes - 1), num_classes)
+        l_cls = sigmoid_focal_loss(cls_s, labels, reduction='none').sum()
+        tgt = gt_b[gidx_i]
+        lb = giou_loss(decoded, tgt, reduction='none')
+        l_box = (lb * pos_i).sum()
+        iou_t = jnp.where(pos_i, bbox_overlaps(
+            jax.lax.stop_gradient(decoded), tgt, is_aligned=True), 0.0)
+        l_iou = (binary_cross_entropy_with_logits(iou_p, iou_t) *
+                 pos_i).sum()
+        return l_cls, l_box, l_iou, pos_i.sum().astype(jnp.float32)
+
+    l_cls, l_box, l_iou, n_pos = jax.vmap(single)(
+        cls_scores, bbox_preds, iou_preds, pos, gt_idx, gt.bboxes,
+        gt.labels, gt.mask)
+    num_pos = jnp.maximum(n_pos.sum(), 1.0)
+    return {
+        'loss_cls': l_cls.sum() / num_pos,
+        'loss_bbox': 1.3 * l_box.sum() / num_pos,
+        'loss_iou': 0.5 * l_iou.sum() / num_pos,
+    }

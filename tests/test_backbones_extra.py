@@ -119,3 +119,24 @@ def test_fpn_carafe_shapes():
     assert len(outs) == 5
     assert all(o.shape[-1] == 16 for o in outs)
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+
+
+def test_pvtv2_shapes():
+    from erd_tpu.models.backbones import PVTv2
+    m = PVTv2(arch='b0')
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert [o.shape[-1] for o in outs] == [32, 64, 160, 256]
+
+
+def test_efficientnet_shapes():
+    from erd_tpu.models.backbones import EfficientNet
+    m = EfficientNet(arch='b0')
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs, _ = m.apply(v, x, train=True, mutable=['batch_stats'])
+    # stages (2, 3, 4, 5) at strides 8, 16, 16, 32; B0 channels
+    assert [o.shape[-1] for o in outs] == [40, 80, 112, 192]
+    assert [o.shape[1] for o in outs] == [8, 4, 4, 2]

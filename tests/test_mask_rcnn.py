@@ -221,3 +221,32 @@ def test_yolact_loss_and_predict():
     res, masks = det.predict_jit(variables, batch)
     assert masks.shape[:2] == res.bboxes.shape[:2]
     assert masks.shape[2:] == (16, 24)  # P3/2 prototypes (stride 4)
+
+
+def test_mask2former_loss_and_predict():
+    """Mask2Former: masked attention, point-sampled mask losses, per-layer
+    Hungarian matching (mask2former_head.py)."""
+    from erd_tpu.models.detectors.mask2former import Mask2FormerDetector
+    det = Mask2FormerDetector(num_classes=3, depth=18, num_queries=10,
+                              num_decoder_layers=3, point_grid=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    # aux losses from every decoder layer + the pre-decoder prediction
+    assert 'd0.loss_cls' in losses and 'd3.loss_dice' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+    assert masks.shape[2:] == (16, 24)  # stride-4 frame
+
+
+def test_maskformer_variant_runs():
+    from erd_tpu.models.detectors.mask2former import Mask2FormerDetector
+    det = Mask2FormerDetector(num_classes=3, depth=18, num_queries=8,
+                              num_decoder_layers=2, point_grid=8,
+                              masked_attention=False)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert np.isfinite(sum(float(v) for v in losses.values()))

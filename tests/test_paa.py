@@ -91,3 +91,24 @@ def test_predict_contract(paa):
     res = det.predict_jit(variables, make_batch())
     assert res.bboxes.shape == (2, 100, 4)
     assert res.mask.dtype == bool
+
+
+def test_lad_uses_teacher_assignment():
+    """LAD: the teacher's PAA split drives the student losses
+    (lad_head.py)."""
+    import jax
+    import numpy as np
+    from erd_tpu.models.detectors.lad import LADDetector
+    from tests.test_models import make_batch
+    det = LADDetector(num_classes=4, depth=18)
+    sv = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    tv = det.teacher.init(jax.random.PRNGKey(1), image_shape=(64, 96))
+    batch = make_batch(gts=[([[10, 10, 60, 50]], [1]), ([], [])])
+    losses = det.loss_jit(sv, batch, tv)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    assert float(losses['loss_bbox']) > 0
+    # a different teacher changes the assignment -> different loss
+    tv2 = det.teacher.init(jax.random.PRNGKey(7), image_shape=(64, 96))
+    losses2 = det.loss_jit(sv, batch, tv2)
+    assert float(losses2['loss_cls']) != float(losses['loss_cls'])
