@@ -77,6 +77,18 @@ class CocoMetric:
             if self.outfile_prefix is not None:
                 self._collect_json(res)
 
+    def process_result(self, img_id, bboxes, scores, labels, masks=None):
+        """Accumulate one image's unpadded results (offline re-eval path,
+        reference tools/analysis_tools/eval_metric.py)."""
+        res = DetectionResult(
+            img_id=int(img_id), bboxes=np.asarray(bboxes, np.float32),
+            scores=np.asarray(scores, np.float32),
+            labels=np.asarray(labels, np.int64), masks=masks)
+        for ev in self.evaluators.values():
+            ev.process(res)
+        if self.outfile_prefix is not None:
+            self._collect_json(res)
+
     def _collect_json(self, res: DetectionResult):
         for j, (b, s, l) in enumerate(zip(res.bboxes, res.scores,
                                           res.labels)):
