@@ -1,0 +1,3 @@
+# RPN-only proposal network (reference configs/rpn/rpn_r50_fpn_1x_coco.py).
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+model = dict(type='RPN')

@@ -85,6 +85,58 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CentripetalNet':
+        from ..models.detectors.centripetalnet import (
+            CentripetalNetDetector)
+        base.pop('depth')
+        return CentripetalNetDetector(
+            corner_topk=test.get('corner_topk', 100),
+            score_thr=test.get('score_thr', 0.05),
+            max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'DetectoRS':
+        from ..models.detectors.detectors_rcnn import (
+            DetectoRSFasterRCNNDetector)
+        return DetectoRSFasterRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'NASFCOS':
+        from ..models.detectors.nasfcos import NASFCOSDetector
+        return NASFCOSDetector(test_cfg=test_cfg, **base)
+    if mtype == 'TridentFasterRCNN':
+        from ..models.detectors.trident_faster_rcnn import (
+            TridentFasterRCNNDetector)
+        return TridentFasterRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'SCNet':
+        from ..models.detectors.scnet import SCNetDetector
+        return SCNetDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CrowdDet':
+        from ..models.detectors.crowddet import CrowdDetDetector
+        return CrowdDetDetector(test_cfg=test_cfg, **base)
+    if mtype == 'BoxInst':
+        from ..models.detectors.boxinst import BoxInstDetector
+        return BoxInstDetector(test_cfg=test_cfg, **base)
+    if mtype == 'SOLO':
+        from ..models.detectors.solo import SOLODetector
+        return SOLODetector(
+            nms_pre=test.get('nms_pre', 500),
+            score_thr=test.get('score_thr', 0.1),
+            max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'FastRCNN':
+        from ..models.detectors.fast_rcnn import FastRCNNDetector
+        return FastRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'RPN':
+        from ..models.detectors.fast_rcnn import RPNDetector
+        return RPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'QueryInst':
+        from ..models.detectors.queryinst import QueryInstDetector
+        return QueryInstDetector(
+            num_proposals=model_cfg.get('num_proposals', 100),
+            num_stages=model_cfg.get('num_stages', 6),
+            max_per_img=test.get('max_per_img', 100), **base)
+    if mtype == 'GridRCNN':
+        from ..models.detectors.grid_rcnn import GridRCNNDetector
+        return GridRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'PointRend':
+        from ..models.detectors.point_rend import PointRendDetector
+        return PointRendDetector(test_cfg=test_cfg, **base)
     if mtype == 'LAD':
         from ..models.detectors.lad import LADDetector
         return LADDetector(topk=train.get('topk', 9),

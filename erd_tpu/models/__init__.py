@@ -28,6 +28,18 @@ from .detectors.condinst import CondInstDetector
 from .detectors.yolact import YOLACTDetector
 from .detectors.mask2former import Mask2FormerDetector
 from .detectors.lad import LADDetector
+from .detectors.point_rend import PointRendDetector
+from .detectors.grid_rcnn import GridRCNNDetector
+from .detectors.queryinst import QueryInstDetector
+from .detectors.solo import SOLODetector
+from .detectors.boxinst import BoxInstDetector
+from .detectors.crowddet import CrowdDetDetector
+from .detectors.scnet import SCNetDetector
+from .detectors.trident_faster_rcnn import TridentFasterRCNNDetector
+from .detectors.nasfcos import NASFCOSDetector
+from .detectors.detectors_rcnn import DetectoRSFasterRCNNDetector
+from .detectors.centripetalnet import CentripetalNetDetector
+from .detectors.fast_rcnn import FastRCNNDetector, RPNDetector
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -42,7 +54,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
-    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector', 'PointRendDetector', 'GridRCNNDetector', 'QueryInstDetector', 'SOLODetector', 'BoxInstDetector', 'CrowdDetDetector', 'SCNetDetector', 'TridentFasterRCNNDetector', 'NASFCOSDetector', 'DetectoRSFasterRCNNDetector', 'CentripetalNetDetector', 'FastRCNNDetector', 'RPNDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

@@ -7,12 +7,15 @@ from .mobilenet_v2 import MobileNetV2
 from .pvt import PVTv2
 from .regnet import RegNet
 from .res2net import Res2Net
+from .resnest import ResNeSt
 from .resnet import ResNet
 from .resnext import ResNeXt
 from .ssd_vgg import SSDVGG
 from .swin import SwinTransformer
+from .trident_resnet import TridentResNet
+from .detectors_resnet import DetectoRSResNet
 
 __all__ = [
-    'ResNet', 'ResNeXt', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet',
-    'MobileNetV2', 'PVTv2', 'EfficientNet', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer',
+    'ResNet', 'ResNeXt', 'Res2Net', 'ResNeSt', 'RegNet', 'HRNet', 'HourglassNet',
+    'MobileNetV2', 'PVTv2', 'EfficientNet', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer', 'TridentResNet', 'DetectoRSResNet',
 ]

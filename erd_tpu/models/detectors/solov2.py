@@ -190,7 +190,7 @@ def paste_crop(crop, box, fh, fw, stride):
 
 
 def solo_targets_single(gt_b, gt_l, gt_m, gt_crops, fh, fw, stride,
-                        num_classes, max_pos):
+                        num_classes, max_pos, levels=None):
     """One image: labels per cell per level + a capped positive-pair table.
 
     Returns (labels (sum S^2,), pair_cell (max_pos,), pair_valid,
@@ -218,7 +218,9 @@ def solo_targets_single(gt_b, gt_l, gt_m, gt_crops, fh, fw, stride,
     pair_gt_parts = []
     pair_valid_parts = []
     cell_off = 0
-    for lvl, s in enumerate(NUM_GRIDS):
+    level_ids = range(len(NUM_GRIDS)) if levels is None else levels
+    for lvl in level_ids:
+        s = NUM_GRIDS[lvl]
         lo, hi = SCALE_RANGES[lvl]
         in_lvl = (areas >= lo) & (areas <= hi) & gt_m & has_mask
         cw = jnp.clip((com_x / img_w * s), 0, s - 1).astype(jnp.int32)

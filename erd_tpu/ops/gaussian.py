@@ -177,3 +177,54 @@ def render_corner_targets(gt_bboxes, gt_labels, gt_mask, feat_hw,
                 br_off=br_off, tl_w=tl_w, br_w=br_w,
                 tl_xy=jnp.stack([li, ti], -1),
                 br_xy=jnp.stack([ri, bi], -1))
+
+
+def render_centripetal_targets(gt_bboxes, gt_labels, gt_mask, feat_hw,
+                               num_classes, ratio, min_overlap=0.3):
+    """CentripetalNet targets: corner heatmaps/offsets plus guiding-shift
+    and log centripetal-shift targets at the corner pixels
+    (reference dense_heads/corner_head.py get_targets with
+    with_guiding_shift/with_centripetal_shift)."""
+    base = render_corner_targets(gt_bboxes, gt_labels, gt_mask, feat_hw,
+                                 num_classes, ratio, min_overlap)
+    fh, fw = feat_hw
+    ys = jnp.arange(fh, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(fw, dtype=jnp.float32)[None, :]
+    sl = gt_bboxes[:, 0] * ratio[0]
+    st = gt_bboxes[:, 1] * ratio[1]
+    sr = gt_bboxes[:, 2] * ratio[0]
+    sb = gt_bboxes[:, 3] * ratio[1]
+    scx = (sl + sr) / 2.0
+    scy = (st + sb) / 2.0
+    li = jnp.minimum(sl, fw - 1).astype(jnp.int32)
+    ri = jnp.minimum(sr, fw - 1).astype(jnp.int32)
+    ti = jnp.minimum(st, fh - 1).astype(jnp.int32)
+    bi = jnp.minimum(sb, fh - 1).astype(jnp.int32)
+
+    zero2 = jnp.zeros((fh, fw, 2), jnp.float32)
+    tl_guide, br_guide = zero2, zero2
+    tl_cent, br_cent = zero2, zero2
+
+    def body(j, carry):
+        tg, bg, tc, bc = carry
+        ok = gt_mask[j]
+        at_tl = (ys == ti[j]) & (xs == li[j]) & ok
+        at_br = (ys == bi[j]) & (xs == ri[j]) & ok
+        tg = jnp.where(at_tl[..., None], jnp.stack(
+            [scx[j] - li[j], scy[j] - ti[j]])[None, None], tg)
+        bg = jnp.where(at_br[..., None], jnp.stack(
+            [ri[j] - scx[j], bi[j] - scy[j]])[None, None], bg)
+        tc = jnp.where(at_tl[..., None], jnp.log(jnp.clip(jnp.stack(
+            [scx[j] - sl[j], scy[j] - st[j]]), 1e-4, None))[None, None],
+            tc)
+        bc = jnp.where(at_br[..., None], jnp.log(jnp.clip(jnp.stack(
+            [sr[j] - scx[j], sb[j] - scy[j]]), 1e-4, None))[None, None],
+            bc)
+        return tg, bg, tc, bc
+
+    tl_guide, br_guide, tl_cent, br_cent = jax.lax.fori_loop(
+        0, gt_bboxes.shape[0], body,
+        (tl_guide, br_guide, tl_cent, br_cent))
+    base.update(tl_guide=tl_guide, br_guide=br_guide,
+                tl_cent=tl_cent, br_cent=br_cent)
+    return base

@@ -71,6 +71,43 @@ def nms_mask(boxes, scores, iou_threshold, valid_mask=None):
     return keep
 
 
+def set_nms_mask(boxes, scores, group_ids, iou_threshold,
+                 valid_mask=None):
+    """Set-NMS (CrowdDet, crowddet.py): identical to greedy NMS except
+    boxes sharing a ``group_id`` (predictions from the SAME proposal)
+    never suppress each other — the multi-instance pairs survive crowd
+    overlap. Same Jacobi-fixpoint evaluation as nms_mask.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, neg_inf)
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    svalid = scores[order] > neg_inf
+    sgroup = group_ids[order]
+
+    iou = bbox_overlaps(sboxes, sboxes)
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]
+    same_group = sgroup[:, None] == sgroup[None, :]
+    suppress = ((iou > iou_threshold) & later & ~same_group &
+                svalid[:, None]).astype(jnp.float32)
+
+    def cond(state):
+        alive, prev, it = state
+        return jnp.logical_and(jnp.any(alive != prev), it < n)
+
+    def body(state):
+        alive, _, it = state
+        hit = (alive.astype(jnp.float32) @ suppress) > 0
+        return (svalid & ~hit, alive, it + 1)
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (svalid, jnp.zeros_like(svalid), 0))
+    return jnp.zeros((n,), bool).at[order].set(alive)
+
+
 def batched_nms_mask(boxes, scores, idxs, iou_threshold, valid_mask=None):
     """Class-aware NMS via the coordinate-offset trick (mmcv batched_nms)."""
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0))
@@ -93,9 +130,19 @@ def nms_select(boxes, scores, labels, iou_threshold, max_out,
                                 valid_mask)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     kept_scores = jnp.where(keep, scores, neg_inf)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    k = min(max_out, kept_scores.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
     out_mask = top_scores > neg_inf
     out_boxes = jnp.where(out_mask[:, None], boxes[top_idx], 0.0)
     out_labels = jnp.where(out_mask, labels[top_idx], 0)
     out_scores = jnp.where(out_mask, top_scores, 0.0)
+    if k < max_out:  # fewer candidates than capacity: pad to max_out
+        pad = max_out - k
+        out_boxes = jnp.concatenate(
+            [out_boxes, jnp.zeros((pad, 4), out_boxes.dtype)])
+        out_scores = jnp.concatenate(
+            [out_scores, jnp.zeros((pad,), out_scores.dtype)])
+        out_labels = jnp.concatenate(
+            [out_labels, jnp.zeros((pad,), out_labels.dtype)])
+        out_mask = jnp.concatenate([out_mask, jnp.zeros((pad,), bool)])
     return out_boxes, out_scores, out_labels, out_mask

@@ -6,7 +6,10 @@ from .coder import (DeltaXYWHBBoxCoder, DistancePointBBoxCoder,
                     TBLRBBoxCoder)
 from .hungarian import hungarian_match
 from .max_iou import max_iou_assign
-from .samplers import SampleResult, ohem_sample, random_sample
+from .bucketing import BucketingBBoxCoder, bucket_decode, bucket_encode
+from .samplers import (SampleResult, instance_balanced_pos_sample,
+                       iou_balanced_neg_sample, ohem_sample, random_sample,
+                       score_hlr_sample)
 from .sim_ota import sim_ota_assign
 from .task_aligned import task_aligned_assign
 from .uniform import uniform_assign
@@ -18,5 +21,8 @@ __all__ = [
     'center_region_assign', 'max_iou_assign',
     'sim_ota_assign', 'task_aligned_assign', 'hungarian_match',
     'random_sample', 'ohem_sample', 'uniform_assign',
+    'score_hlr_sample', 'iou_balanced_neg_sample',
+    'instance_balanced_pos_sample', 'BucketingBBoxCoder',
+    'bucket_encode', 'bucket_decode',
     'SampleResult',
 ]

@@ -144,3 +144,45 @@ def instance_balanced_pos_sample(rng, pos_mask, gt_idx, num_gts_cap,
                           jnp.where(pos_mask, keys, -jnp.inf))
     top, idx = jax.lax.top_k(order_key, n_pos_slots)
     return idx.astype(jnp.int32), top > -jnp.inf
+
+
+def score_hlr_sample(rng, pos_mask, neg_mask, fg_scores, num=512,
+                     pos_fraction=0.25, score_thr=0.05, k=0.5, bias=0.0):
+    """Score-based hard negative sampling (reference
+    task_modules/samplers/score_hlr_sampler.py), static-shape form.
+
+    Negatives whose max foreground score exceeds ``score_thr`` are ranked
+    by score (the reference additionally groups by NMS before ranking —
+    the grouping is omitted here, documented deviation) and receive
+    importance weights (1 - rank/n_valid)^k + bias; sampling draws
+    negatives by perturbed-key top-k proportional to that importance, and
+    the weights are returned so the loss can downweight easy negatives
+    exactly like the reference's neg_label_weights.
+    """
+    n = pos_mask.shape[0]
+    n_pos_slots = int(num * pos_fraction)
+    n_neg_slots = num - n_pos_slots
+    kp, kn = jax.random.split(rng)
+    pos_keys = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -jnp.inf)
+    pos_top, pos_idx = jax.lax.top_k(pos_keys, min(n_pos_slots, n))
+
+    valid = neg_mask & (fg_scores > score_thr)
+    order_score = jnp.where(valid, fg_scores, -jnp.inf)
+    rank = jnp.argsort(jnp.argsort(-order_score))
+    n_valid = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    imp = jnp.power(jnp.clip(1.0 - rank.astype(jnp.float32) / n_valid,
+                             0.0, 1.0), k) + bias
+    # perturbed top-k: keys = importance * uniform for valid; tiny uniform
+    # for easy negatives so they fill leftover slots
+    u = jax.random.uniform(kn, (n,), minval=1e-6, maxval=1.0)
+    keys = jnp.where(valid, imp * u,
+                     jnp.where(neg_mask, 1e-6 * u, -jnp.inf))
+    neg_top, neg_idx = jax.lax.top_k(keys, min(n_neg_slots, n))
+    neg_weights = jnp.where(valid[neg_idx], imp[neg_idx], 1.0)
+
+    idx = jnp.concatenate([pos_idx, neg_idx])
+    is_pos = jnp.concatenate([jnp.ones_like(pos_idx, dtype=bool),
+                              jnp.zeros_like(neg_idx, dtype=bool)])
+    valid_slots = jnp.concatenate([pos_top > -jnp.inf, neg_top > -jnp.inf])
+    return SampleResult(idx=idx.astype(jnp.int32), is_pos=is_pos,
+                        valid=valid_slots), neg_weights

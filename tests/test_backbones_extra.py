@@ -140,3 +140,52 @@ def test_efficientnet_shapes():
     # stages (2, 3, 4, 5) at strides 8, 16, 16, 32; B0 channels
     assert [o.shape[-1] for o in outs] == [40, 80, 112, 192]
     assert [o.shape[1] for o in outs] == [8, 4, 4, 2]
+
+
+def test_resnest_shapes():
+    from erd_tpu.models.backbones import ResNeSt
+    m = ResNeSt(depth=50)
+    x = _img()
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_dyhead_preserves_shapes():
+    from erd_tpu.models.necks import DyHead
+    feats = tuple(
+        jnp.asarray(np.random.RandomState(i).randn(
+            1, 16 // 2 ** i, 16 // 2 ** i, 32), jnp.float32)
+        for i in range(3))
+    neck = DyHead(num_blocks=2, out_channels=32)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert [o.shape for o in outs] == [f.shape for f in feats]
+
+
+def test_nasfpn_topology():
+    from erd_tpu.models.necks import NASFPN
+    feats = tuple(
+        jnp.asarray(np.random.RandomState(i).randn(
+            1, 32 // 2 ** i, 32 // 2 ** i, 16 * 2 ** i), jnp.float32)
+        for i in range(3))
+    neck = NASFPN(in_channels=(16, 32, 64), out_channels=24,
+                  stack_times=2)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+    assert all(o.shape[-1] == 24 for o in outs)
+
+
+def test_ssh_context_module():
+    from erd_tpu.models.necks import SSH
+    feats = (jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 16),
+                         jnp.float32),)
+    neck = SSH(out_channels=32)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert outs[0].shape == (1, 8, 8, 32)
+    # half + quarter + quarter channel split
+    assert (np.asarray(outs[0]) >= 0).all()  # relu'd concat

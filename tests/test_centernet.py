@@ -83,3 +83,24 @@ def test_predict_contract(centernet):
     assert heat.shape == (1, 16, 24, 4)
     s = np.asarray(heat)
     assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_centripetalnet_loss_and_predict():
+    """CentripetalNet: guiding/centripetal shifts replace embeddings
+    (centripetal_head.py)."""
+    import jax
+    import numpy as np
+    from erd_tpu.models.detectors.centripetalnet import (
+        CentripetalNetDetector)
+    from tests.test_models import make_batch
+    det = CentripetalNetDetector(
+        num_classes=4, stage_channels=(16, 16, 24),
+        stage_blocks=(1, 1, 1), downsample_times=2, corner_topk=20)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_batch(gts=[([[10, 10, 60, 50]], [1]), ([], [])])
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_guiding' in losses and 'loss_centripetal' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[-1] == 4

@@ -135,3 +135,87 @@ def test_fovea_decode_roundtrip():
     rec = [pt[0] - base * e[0], pt[1] - base * e[1],
            pt[0] + base * e[2], pt[1] + base * e[3]]
     np.testing.assert_allclose(rec, gt_box, atol=1.0)
+
+
+def test_bucketing_coder_roundtrip():
+    """SABL bucketing coder: encode labels point at the nearest bucket and
+    a perfect prediction decodes back to the gt box
+    (bucketing_bbox_coder.py)."""
+    from erd_tpu.task.bucketing import (bucket_decode, bucket_encode)
+    proposals = jnp.asarray([[10., 10., 50., 50.], [0., 0., 30., 60.]])
+    gt = jnp.asarray([[12., 14., 46., 48.], [2., 5., 28., 55.]])
+    offs, ow, labels, cw = bucket_encode(proposals, gt, num_buckets=14,
+                                         scale_factor=1.0)
+    side = offs.shape[-1] // 4
+    # nearest-bucket labels are one-hot per side
+    lab4 = np.asarray(labels).reshape(2, 4, side)
+    assert (lab4.sum(-1) == 1).all()
+    # weights: exactly the top-k(<=2) buckets carry offset weight
+    ow4 = np.asarray(ow).reshape(2, 4, side)
+    assert ((ow4.sum(-1) >= 1) & (ow4.sum(-1) <= 2)).all()
+    # perfect predictions: cls = labels as logits, offsets = targets
+    boxes, conf = bucket_decode(proposals, labels * 20.0, offs,
+                                num_buckets=14, scale_factor=1.0)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(gt),
+                               atol=1e-3)
+    assert (np.asarray(conf) > 0.9).all()
+
+
+def test_score_hlr_sampler_prefers_hard_negatives():
+    from erd_tpu.task.samplers import score_hlr_sample
+    rng = jax.random.PRNGKey(0)
+    n = 100
+    pos = jnp.zeros(n, bool).at[:4].set(True)
+    neg = ~pos
+    scores = jnp.zeros(n).at[4:14].set(0.9)  # 10 hard negatives
+    res, w = score_hlr_sample(rng, pos, neg, scores, num=16,
+                              pos_fraction=0.25)
+    neg_sel = np.asarray(res.idx[4:])
+    hard = ((neg_sel >= 4) & (neg_sel < 14)).sum()
+    assert hard == 10  # all hard negatives drawn before easy ones
+
+
+def test_guided_anchoring_loc_and_shape():
+    """GA kit: loc center/ignore routing + shape bounded-IoU loss
+    (guided_anchor_head.py)."""
+    import numpy as np
+    from erd_tpu.models.heads.fcos_head import FCOSPointContext
+    from erd_tpu.models.heads.guided_anchor_head import (ga_loc_targets,
+                                                         ga_losses,
+                                                         ga_shape_targets)
+    from erd_tpu.structures import GTInstances
+    ctx = FCOSPointContext.build((64, 96))
+    pts = jnp.asarray(ctx.points)
+    strides = jnp.asarray(ctx.strides)
+    gt_b = jnp.asarray([[16., 16., 80., 60.]])  # scale ~53 -> level 0
+    gt_m = jnp.asarray([True])
+    labels = np.asarray(ga_loc_targets(pts, strides,
+                                       ctx.num_level_points, gt_b, gt_m))
+    assert (labels == 1).sum() > 0          # center region positive
+    assert (labels == -1).sum() > 0         # ignore ring + adjacent level
+    # positives confined to one level, ignores spill to neighbors
+    lvl = np.repeat(np.arange(len(ctx.num_level_points)),
+                    ctx.num_level_points)
+    assert len(set(lvl[labels == 1])) == 1
+    best, pos = ga_shape_targets(pts, strides, gt_b, gt_m)
+    assert bool(np.asarray(pos).any())
+
+    gt = GTInstances.pad(np.asarray(gt_b), np.asarray([0], np.int32), 8)
+    gt = jax.tree.map(lambda x: jnp.asarray(x)[None], gt)
+    loc = jnp.zeros((1, pts.shape[0]))
+    shp = jnp.zeros((1, pts.shape[0], 2))
+    losses = ga_losses(pts, strides, ctx.num_level_points, loc, shp, gt)
+    assert float(losses['loss_loc']) > 0
+    assert float(losses['loss_shape']) > 0
+
+
+def test_ga_head_net_forward():
+    from erd_tpu.models.heads.guided_anchor_head import GARPNHeadNet
+    net = GARPNHeadNet(feat_channels=16)
+    feats = [jnp.zeros((1, 8, 12, 16)), jnp.zeros((1, 4, 6, 16))]
+    v = net.init(jax.random.PRNGKey(0), feats)
+    locs, shapes, clss, regs = net.apply(v, feats)
+    assert locs[0].shape == (1, 8, 12, 1)
+    assert shapes[0].shape == (1, 8, 12, 2)
+    assert clss[1].shape == (1, 4, 6, 1)
+    assert regs[1].shape == (1, 4, 6, 4)

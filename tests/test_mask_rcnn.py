@@ -250,3 +250,109 @@ def test_maskformer_variant_runs():
     batch = make_mask_batch()
     losses = det.loss_jit(variables, batch)
     assert np.isfinite(sum(float(v) for v in losses.values()))
+
+
+def test_point_rend_loss_and_subdivision():
+    """PointRend: coarse mask + importance-sampled point refinement
+    (point_rend_roi_head.py)."""
+    from erd_tpu.models.detectors.point_rend import PointRendDetector
+    det = PointRendDetector(num_classes=3, depth=18, num_points=32,
+                            subdivision_steps=2, subdivision_points=32)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_point' in losses and 'loss_mask' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    # 14 -> 28 -> 56 after 2 subdivision steps
+    assert masks.shape[2:] == (56, 56)
+
+
+def test_queryinst_loss_and_predict():
+    """QueryInst: per-stage dynamic mask heads on the Sparse R-CNN cascade
+    (queryinst.py / dynamic_mask_head.py)."""
+    from erd_tpu.models.detectors.queryinst import QueryInstDetector
+    det = QueryInstDetector(num_classes=3, depth=18, num_proposals=10,
+                            num_stages=2)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert 's0.loss_dice' in losses and 's1.loss_dice' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[2:] == (28, 28)
+
+
+def test_solo_v1_loss_and_predict():
+    """SOLO v1: direct per-cell mask channels, per-level targets
+    (solo_head.py)."""
+    from erd_tpu.models.detectors.solo import SOLODetector
+    det = SOLODetector(num_classes=3, depth=18, max_pos=16, nms_pre=50)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    assert float(losses['loss_mask']) > 0
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+
+
+def test_rpn_and_fast_rcnn():
+    """RPN-only detector + Fast R-CNN on precomputed proposals
+    (rpn.py / fast_rcnn.py)."""
+    import jax.numpy as jnp
+    from erd_tpu.models import FastRCNNDetector, RPNDetector
+    rpn = RPNDetector(num_classes=3, depth=18)
+    variables = rpn.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = rpn.loss_jit(variables, batch)
+    assert 'loss_rpn_cls' in losses or len(losses) >= 1
+    res = rpn.predict_jit(variables, batch)
+    assert (res.labels == 0).all()  # class-agnostic
+
+    fast = FastRCNNDetector(num_classes=3, depth=18)
+    fv = fast.init(jax.random.PRNGKey(1), image_shape=(64, 96))
+    props = jnp.tile(jnp.asarray([[5., 5., 60., 50.],
+                                  [20., 10., 90., 60.]])[None], (2, 1, 1))
+    batch2 = dict(batch)
+    batch2['proposals'] = props
+    batch2['proposals_mask'] = jnp.ones((2, 2), bool)
+    l2 = fast.loss_jit(fv, batch2)
+    assert np.isfinite(float(l2['loss_cls']))
+    r2 = fast.predict_jit(fv, batch2)
+    assert r2.bboxes.shape[-1] == 4
+
+
+def test_scnet_loss_and_predict():
+    """SCNet: cascade + global context + feature relay + single mask
+    branch (scnet_roi_head.py)."""
+    from erd_tpu.models.detectors.scnet import SCNetDetector
+    det = SCNetDetector(num_classes=3, depth=18)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_glbctx' in losses and 'loss_mask' in losses
+    for s in range(3):
+        assert f'loss_cls_s{s}' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[2:] == (28, 28)
+
+
+def test_boxinst_box_supervised_losses():
+    """BoxInst: projection + pairwise color losses, no gt masks needed
+    (boxinst_head.py)."""
+    from erd_tpu.models.detectors.boxinst import BoxInstDetector
+    from tests.test_models import make_batch
+    det = BoxInstDetector(num_classes=3, depth=18, max_masks_to_train=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_batch(gts=[([[10, 10, 60, 50]], [1]), ([], [])])
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_project' in losses and 'loss_pairwise' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    assert float(losses['loss_project']) > 0

@@ -115,3 +115,92 @@ def test_frcnn_predict(frcnn):
     res = det.predict_jit(variables, make_batch())
     assert res.bboxes.shape == (2, 100, 4)
     assert res.mask.dtype == bool
+
+
+def test_crowddet_emd_and_set_nms():
+    """CrowdDet: 2-instance EMD loss + set-NMS (crowddet.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from erd_tpu.models.detectors.crowddet import CrowdDetDetector
+    from erd_tpu.ops import set_nms_mask
+    from tests.test_models import make_batch
+    # set-NMS unit: overlapping boxes with the SAME group id both survive
+    boxes = jnp.asarray([[0., 0., 10., 10.], [1., 1., 11., 11.],
+                         [0.5, 0.5, 10.5, 10.5]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    groups = jnp.asarray([0, 0, 1])
+    keep = np.asarray(set_nms_mask(boxes, scores, groups, 0.5))
+    assert keep.tolist() == [True, True, False]
+
+    det = CrowdDetDetector(num_classes=2, depth=18)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    # two overlapping gts exercise the EMD pairing
+    batch = make_batch(gts=[([[10, 10, 60, 50], [14, 12, 64, 54]], [0, 0]),
+                            ([], [])])
+    losses = det.loss_jit(variables, batch)
+    assert 'loss_emd' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, losses)
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[-1] == 4
+
+
+def test_tridentnet_branches_and_fast_inference():
+    """TridentNet: 3 weight-shared dilated branches train together; the
+    middle branch serves fast inference (trident_faster_rcnn.py)."""
+    import jax
+    import numpy as np
+    from erd_tpu.models.detectors.trident_faster_rcnn import (
+        TridentFasterRCNNDetector)
+    from erd_tpu.models.backbones.trident_resnet import TridentResNet
+    import jax.numpy as jnp
+    from tests.test_models import make_batch
+    # backbone: 3 branches share the trident conv weights
+    bb = TridentResNet(depth=50)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x)
+    c4 = bb.apply(v, x)
+    assert c4.shape == (3, 4, 4, 1024)  # 3 branches, stride 16
+    p = v['params']['layer3_block0']['conv2']
+    assert 'kernel' in p  # ONE shared kernel for all dilations
+
+    det = TridentFasterRCNNDetector(num_classes=3, depth=50)
+    dv = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_batch(gts=[([[10, 10, 60, 50]], [1]), ([], [])])
+    losses = det.loss_jit(dv, batch)
+    for k, vv in losses.items():
+        assert np.isfinite(float(vv)), (k, losses)
+    res = det.predict_jit(dv, batch)
+    assert res.bboxes.shape[0] == 2  # per-image (middle branch only)
+
+
+def test_detectors_rfp_and_sac():
+    """DetectoRS: SAC switch + 2-step RFP with zero-init feedback
+    (rfp.py / detectors_resnet.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from erd_tpu.models.backbones.detectors_resnet import (DetectoRSResNet,
+                                                           SAConv)
+    from erd_tpu.models.detectors.detectors_rcnn import (
+        DetectoRSFasterRCNNDetector)
+    from tests.test_models import make_batch
+    # SAC at zero-init delta: d1 and d3 branches share the weight, so the
+    # switch interpolates two valid convs; zero-init contexts = no-op adds
+    sac = SAConv(8)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+    v = sac.init(jax.random.PRNGKey(0), x)
+    y = sac.apply(v, x)
+    assert y.shape == (1, 8, 8, 8)
+    assert 'weight_diff' in v['params']
+
+    det = DetectoRSFasterRCNNDetector(num_classes=3, depth=50)
+    dv = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    # zero-init rfp convs + rfp_weight: step-2 fusion starts at 0.5/0.5
+    batch = make_batch(gts=[([[10, 10, 60, 50]], [1]), ([], [])])
+    losses = det.loss_jit(dv, batch)
+    for k, vv in losses.items():
+        assert np.isfinite(float(vv)), (k, losses)
+    res = det.predict_jit(dv, batch)
+    assert res.bboxes.shape[-1] == 4

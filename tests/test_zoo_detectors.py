@@ -77,6 +77,12 @@ def _build(name):
         'dynamic_rcnn': lambda: _imp(
             'dynamic_rcnn', 'DynamicRCNNDetector')(num_classes=4,
                                                    depth=18),
+        'grid_rcnn': lambda: _imp(
+            'grid_rcnn', 'GridRCNNDetector')(num_classes=4, depth=18),
+        'nasfcos': lambda: _imp('nasfcos', 'NASFCOSDetector')(
+            num_classes=4, depth=18),
+        'crowddet': lambda: _imp('crowddet', 'CrowdDetDetector')(
+            num_classes=4, depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
         'cascade_rcnn': lambda: CascadeRCNNDetector(num_classes=4,
@@ -108,7 +114,8 @@ def _imp(mod, cls):
 FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
-            'autoassign', 'pisa_retinanet', 'dynamic_rcnn',
+            'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
+            'nasfcos', 'crowddet',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
