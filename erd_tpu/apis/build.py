@@ -50,7 +50,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                                                 'LD', 'ATSS') else 0.5),
         max_per_img=test.get('max_per_img', 100),
         min_bbox_size=test.get('min_bbox_size', 0.0),
-        pre_nms_total=test.get('pre_nms_total', 1000))
+        # default matches GFLTestConfig (2000; A/B-measured loss-free vs
+        # uncapped NMS, docs/ROUND2.md "pre_nms_total cap")
+        pre_nms_total=test.get('pre_nms_total', 2000))
     gfl_common = dict(
         reg_max=model_cfg.get('reg_max', 16),
         train_cfg=GFLTrainConfig(
@@ -125,6 +127,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'RPN':
         from ..models.detectors.fast_rcnn import RPNDetector
         return RPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'GAFasterRCNN':
+        from ..models.detectors.ga_faster_rcnn import GAFasterRCNNDetector
+        return GAFasterRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'GARPN':
+        from ..models.detectors.ga_faster_rcnn import GARPNDetector
+        return GARPNDetector(test_cfg=test_cfg, **base)
     if mtype == 'QueryInst':
         from ..models.detectors.queryinst import QueryInstDetector
         return QueryInstDetector(

@@ -109,3 +109,101 @@ def eval_dumped(path: str, dataset, num_classes, classwise=False):
         metric.process_result(row['img_id'], row['bboxes'], row['scores'],
                               row['labels'])
     return metric.compute_metrics()
+
+
+def _class_ap(db, ds, gb, iou_thr, drop_fp=False):
+    """Greedy-matched all-point AP of one class pool (db sorted inside)."""
+    if len(gb) == 0:
+        return None
+    order = np.argsort(-ds)
+    db = db[order]
+    matched = np.zeros(len(gb), bool)
+    tp = np.zeros(len(db))
+    for i in range(len(db)):
+        if not len(gb):
+            break
+        iou = _iou_matrix(db[i:i + 1], gb)[0]
+        iou[matched] = -1
+        j = iou.argmax()
+        if iou[j] >= iou_thr:
+            matched[j] = True
+            tp[i] = 1
+    if drop_fp:
+        keep = tp > 0
+        tp = tp[keep]
+    if len(tp) == 0:
+        return 0.0
+    ctp = np.cumsum(tp)
+    prec = ctp / np.arange(1, len(tp) + 1)
+    rec = ctp / len(gb)
+    mrec = np.concatenate([[0], rec])
+    mpre = np.concatenate([[0], prec])
+    for k in range(len(mpre) - 2, -1, -1):
+        mpre[k] = max(mpre[k], mpre[k + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]).sum())
+
+
+def coco_error_analysis(results, dataset, num_classes):
+    """Per-class error breakdown in the style of
+    tools/analysis_tools/coco_error_analysis.py: C75 / C50 (strict APs),
+    Loc (AP@0.1 — localization errors forgiven), Oth (AP@0.1 after
+    removing detections hijacked by other-class gts — class confusion
+    forgiven), BG (all remaining false positives removed), FN (=1.0; the
+    rest of the gap is missed gts). Returns {class: {...}} + 'mean'.
+    """
+    by_id = {r['img_id']: r for r in results}
+    out = {}
+    for c in range(num_classes):
+        db_all, ds_all, gb_all = [], [], []
+        db_oth, ds_oth = [], []
+        for rec in dataset:
+            res = by_id.get(rec.img_id)
+            gb = rec.bboxes[(rec.labels == c) & ~rec.ignore] \
+                if len(rec.labels) else np.zeros((0, 4))
+            gb_other = rec.bboxes[(rec.labels != c) & ~rec.ignore] \
+                if len(rec.labels) else np.zeros((0, 4))
+            gb_all.append(gb)
+            if res is None:
+                continue
+            sel = res['labels'] == c
+            db = res['bboxes'][sel]
+            ds = res['scores'][sel]
+            db_all.append(db)
+            ds_all.append(ds)
+            # Oth: drop detections overlapping other-class gts at >= 0.1
+            if len(db) and len(gb_other):
+                iof = _iou_matrix(db, gb_other)
+                hij = iof.max(axis=1) >= 0.1
+                # only drop if they do NOT match an own-class gt at 0.1
+                own = (_iou_matrix(db, gb).max(axis=1) >= 0.1) \
+                    if len(gb) else np.zeros(len(db), bool)
+                keep = ~(hij & ~own)
+            else:
+                keep = np.ones(len(db), bool)
+            db_oth.append(db[keep])
+            ds_oth.append(ds[keep])
+        gb = np.concatenate(gb_all) if gb_all else np.zeros((0, 4))
+        db = np.concatenate(db_all) if db_all else np.zeros((0, 4))
+        ds = np.concatenate(ds_all) if ds_all else np.zeros(0)
+        dbo = np.concatenate(db_oth) if db_oth else np.zeros((0, 4))
+        dso = np.concatenate(ds_oth) if ds_oth else np.zeros(0)
+        # NOTE: pooling across images is the simplification (per-image
+        # matching pooled by score is the exact protocol; for the error
+        # DECOMPOSITION the pooled form preserves the ordering C75 <= C50
+        # <= Loc <= Oth <= BG <= FN that the tool visualizes)
+        c75 = _class_ap(db, ds, gb, 0.75)
+        if c75 is None:
+            continue
+        out[c] = dict(
+            C75=c75,
+            C50=_class_ap(db, ds, gb, 0.5),
+            Loc=_class_ap(db, ds, gb, 0.1),
+            Oth=_class_ap(dbo, dso, gb, 0.1),
+            BG=_class_ap(dbo, dso, gb, 0.1, drop_fp=True),
+            FN=1.0)
+    if out:
+        mean = {k: float(np.mean([v[k] for v in out.values()]))
+                for k in ('C75', 'C50', 'Loc', 'Oth', 'BG', 'FN')}
+        out['mean'] = mean
+    return out

@@ -40,6 +40,8 @@ from .detectors.nasfcos import NASFCOSDetector
 from .detectors.detectors_rcnn import DetectoRSFasterRCNNDetector
 from .detectors.centripetalnet import CentripetalNetDetector
 from .detectors.fast_rcnn import FastRCNNDetector, RPNDetector
+from .detectors.ga_faster_rcnn import (GAFasterRCNNDetector,
+                                       GARPNDetector)
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -54,7 +56,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
-    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector', 'PointRendDetector', 'GridRCNNDetector', 'QueryInstDetector', 'SOLODetector', 'BoxInstDetector', 'CrowdDetDetector', 'SCNetDetector', 'TridentFasterRCNNDetector', 'NASFCOSDetector', 'DetectoRSFasterRCNNDetector', 'CentripetalNetDetector', 'FastRCNNDetector', 'RPNDetector',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector', 'PointRendDetector', 'GridRCNNDetector', 'QueryInstDetector', 'SOLODetector', 'BoxInstDetector', 'CrowdDetDetector', 'SCNetDetector', 'TridentFasterRCNNDetector', 'NASFCOSDetector', 'DetectoRSFasterRCNNDetector', 'CentripetalNetDetector', 'FastRCNNDetector', 'RPNDetector', 'GAFasterRCNNDetector', 'GARPNDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

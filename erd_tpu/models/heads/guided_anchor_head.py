@@ -150,12 +150,13 @@ def ga_shape_targets(points, stride_per_point, gt_bboxes, gt_mask):
 
 
 def ga_losses(points, strides, num_level_points, loc_flat, shape_flat,
-              gt, loc_weight=1.0, shape_weight=0.2):
+              gt, loc_weight=1.0, shape_weight=0.2,
+              featmap_strides=(8, 16, 32, 64, 128)):
     """loc (B,P) logits; shape (B,P,2). Returns GA's loc+shape losses."""
 
     def single(loc_i, shp_i, gt_b, gt_m):
         labels = ga_loc_targets(points, strides, num_level_points, gt_b,
-                                gt_m)
+                                gt_m, featmap_strides=featmap_strides)
         w = (labels >= 0).astype(jnp.float32)
         n_pos = jnp.maximum((labels == 1).sum().astype(jnp.float32), 1.0)
         lloc = sigmoid_focal_loss(
@@ -178,3 +179,108 @@ def ga_losses(points, strides, num_level_points, loc_flat, shape_flat,
                                     gt.mask)
     return dict(loss_loc=loc_weight * lloc.mean(),
                 loss_shape=shape_weight * lshape.mean())
+
+
+def guided_anchors(points, stride_per_point, shape_flat):
+    """(P, 4) anchors from shape predictions: center = point, wh =
+    sigma * stride * exp(shape) (guided_anchor_head.py anchor shapes)."""
+    wh = OCTAVE_SCALE * stride_per_point[:, None] * jnp.exp(
+        jnp.clip(shape_flat, -8.0, 8.0))
+    return jnp.stack(
+        [points[:, 0] - wh[:, 0] / 2, points[:, 1] - wh[:, 1] / 2,
+         points[:, 0] + wh[:, 0] / 2, points[:, 1] + wh[:, 1] / 2], -1)
+
+
+def ga_rpn_loss(points, strides, num_level_points, loc_flat, shape_flat,
+                cls_flat, reg_flat, gt, rng, anchor_coder, cfg,
+                featmap_strides=(4, 8, 16, 32, 64)):
+    """Full GA-RPN training loss (ga_rpn_head.py loss): the GA pair
+    (loc focal + shape bounded-IoU, ga_losses) plus the usual RPN
+    objectness/regression pair computed against the GUIDED anchors
+    (detached shape preds) with MaxIoU(0.7/0.3) + RandomSampler(256).
+
+    cls_flat (B, P) logits; reg_flat (B, P, 4); cfg: RPNTrainConfig.
+    """
+    from ...losses import (binary_cross_entropy_with_logits,
+                           smooth_l1_loss)
+    from ...task.max_iou import max_iou_assign
+    from ...task.samplers import random_sample
+
+    losses = ga_losses(points, strides, num_level_points, loc_flat,
+                       shape_flat, gt, featmap_strides=featmap_strides)
+    anchors_b = jax.vmap(
+        lambda s: guided_anchors(points, strides,
+                                 jax.lax.stop_gradient(s)))(shape_flat)
+    b = cls_flat.shape[0]
+    rngs = jax.random.split(rng, b)
+
+    def single(anchors, cls_i, reg_i, gt_b, gt_l, gt_m, key):
+        res = max_iou_assign(anchors, gt_b, jnp.zeros_like(gt_l), gt_m,
+                             pos_iou_thr=cfg.pos_iou_thr,
+                             neg_iou_thr=cfg.neg_iou_thr,
+                             min_pos_iou=cfg.min_pos_iou,
+                             match_low_quality=True)
+        neg_mask = (~res.pos_mask) & (res.labels != -2)
+        sample = random_sample(key, res.pos_mask, neg_mask,
+                               num=cfg.num_samples,
+                               pos_fraction=cfg.pos_fraction)
+        sel_w = sample.valid.astype(jnp.float32)
+        n_sampled = jnp.maximum(sel_w.sum(), 1.0)
+        tgt = jnp.where(sample.is_pos, 1.0, 0.0)
+        bce = binary_cross_entropy_with_logits(cls_i[sample.idx], tgt)
+        loss_cls = (bce * sel_w).sum() / n_sampled
+        pos_w = (sample.is_pos & sample.valid).astype(jnp.float32)
+        deltas_t = anchor_coder.encode(anchors[sample.idx],
+                                       gt_b[res.gt_idx[sample.idx]])
+        deltas_t = jnp.nan_to_num(deltas_t, nan=0.0, posinf=0.0,
+                                  neginf=0.0)
+        sl1 = smooth_l1_loss(reg_i[sample.idx], deltas_t,
+                             reduction='none').sum(-1)
+        loss_bbox = (sl1 * pos_w).sum() / n_sampled
+        return loss_cls, loss_bbox
+
+    lc, lb = jax.vmap(single)(anchors_b, cls_flat, reg_flat, gt.bboxes,
+                              gt.labels, gt.mask, rngs)
+    losses['loss_rpn_cls'] = lc.mean()
+    losses['loss_rpn_bbox'] = lb.mean()
+    return losses
+
+
+def ga_rpn_proposals(points, strides, num_level_points, loc_flat,
+                     shape_flat, cls_flat, reg_flat, img_shapes,
+                     anchor_coder, cfg, loc_filter_thr=0.01):
+    """Guided proposals (ga_rpn_head.py get_results_single): objectness
+    is masked where loc prob <= loc_filter_thr (the MaskedConv path made
+    dense), per-level top-k -> decode against guided anchors -> NMS.
+    cfg: ProposalConfig. Returns (B, max_per_img, 4) + scores + mask.
+    """
+    from ...ops import nms_select
+    slices = np.concatenate([[0], np.cumsum(num_level_points)])
+
+    def single(loc_i, shape_i, cls_i, reg_i, img_shape):
+        anchors = guided_anchors(points, strides, shape_i)
+        keep_loc = jax.nn.sigmoid(loc_i) > loc_filter_thr
+        scores = jnp.where(keep_loc, jax.nn.sigmoid(cls_i), 0.0)
+        boxes_all, scores_all, lvl_all = [], [], []
+        for lvl in range(len(num_level_points)):
+            lo, hi = int(slices[lvl]), int(slices[lvl + 1])
+            k = min(cfg.nms_pre, hi - lo)
+            top_s, top_idx = jax.lax.top_k(scores[lo:hi], k)
+            boxes = anchor_coder.decode(anchors[lo:hi][top_idx],
+                                        reg_i[lo:hi][top_idx],
+                                        max_shape=img_shape)
+            boxes_all.append(boxes)
+            scores_all.append(top_s)
+            lvl_all.append(jnp.full((k,), lvl, jnp.int32))
+        boxes = jnp.concatenate(boxes_all)
+        sc = jnp.concatenate(scores_all)
+        lvls = jnp.concatenate(lvl_all)
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        valid = (sc > 0) & (w > cfg.min_bbox_size) & (h > cfg.min_bbox_size)
+        ob, os_, _, om = nms_select(boxes, sc, lvls, cfg.iou_threshold,
+                                    cfg.max_per_img, valid_mask=valid)
+        return ob, os_, om
+
+    return jax.vmap(single)(loc_flat, shape_flat, cls_flat, reg_flat,
+                            img_shapes)

@@ -77,3 +77,36 @@ def test_eval_dumped_roundtrip(tmp_path):
         pickle.dump(rows, f)
     metrics = eval_dumped(str(pk), ds, 1)
     assert metrics['bbox_mAP_50'] == pytest.approx(1.0)
+
+
+def test_coco_error_analysis_monotone_and_values():
+    from erd_tpu.evaluation.analysis import coco_error_analysis
+    # class 0: one gt; det slightly off (IoU ~0.68: >0.5 but <0.75) plus
+    # a background FP. class 1: one gt hit exactly, plus a det that
+    # overlaps class 0's gt (class confusion).
+    ds = [_Rec(1, [[0, 0, 20, 20], [50, 50, 70, 70]], [0, 1])]
+    results = [dict(
+        img_id=1,
+        bboxes=np.asarray([[0., 0., 20., 14.],     # cls0, loc error
+                           [80., 80., 95., 95.],   # cls0, bg FP
+                           [50., 50., 70., 70.],   # cls1, perfect
+                           [2., 2., 20., 20.]]),   # cls1 on cls0's gt
+        scores=np.asarray([0.9, 0.8, 0.95, 0.85]),
+        labels=np.asarray([0, 0, 1, 1]))]
+    t = coco_error_analysis(results, ds, num_classes=2)
+    for c in (0, 1):
+        row = t[c]
+        # the defining invariant: progressively forgiving errors can
+        # only raise AP
+        assert (row['C75'] <= row['C50'] <= row['Loc'] <= row['Oth']
+                <= row['BG'] <= row['FN'] == 1.0)
+    # class 0: miss at 0.75, hit at 0.5 (but the bg FP costs nothing as
+    # it ranks after the TP), perfect once FPs dropped
+    assert t[0]['C75'] == pytest.approx(0.0)
+    assert t[0]['C50'] == pytest.approx(1.0)
+    assert t[0]['BG'] == pytest.approx(1.0)
+    # class 1: strict AP already 1.0 — the confused det ranks second and
+    # the single gt is matched by the perfect det first
+    assert t[1]['C75'] == pytest.approx(1.0)
+    assert t[1]['FN'] == 1.0
+    assert t['mean']['C75'] == pytest.approx(0.5)

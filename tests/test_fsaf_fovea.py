@@ -219,3 +219,23 @@ def test_ga_head_net_forward():
     assert shapes[0].shape == (1, 8, 12, 2)
     assert clss[1].shape == (1, 4, 6, 1)
     assert regs[1].shape == (1, 4, 6, 4)
+
+
+def test_garpn_detector_loss_and_predict():
+    """Proposal-only GA-RPN: GA losses + rpn cls/reg; predictions are
+    class-0 proposals in the fixed DetResults layout."""
+    import jax
+    import numpy as np
+    from erd_tpu.models.detectors.ga_faster_rcnn import GARPNDetector
+    from tests.test_models import make_batch
+    det = GARPNDetector(num_classes=4, depth=18)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_batch(h=64, w=96, gts=[([[10, 10, 60, 50]], [1]),
+                                        ([[5, 5, 40, 40]], [0])])
+    losses = det.loss_jit(variables, batch)
+    for k in ('loss_loc', 'loss_shape', 'loss_rpn_cls', 'loss_rpn_bbox'):
+        assert np.isfinite(float(losses[k])), (k, losses)
+    assert float(losses['loss_loc']) > 0
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[1:] == (300, 4)
+    assert bool((np.asarray(res.labels) == 0).all())

@@ -21,7 +21,7 @@ from tests.test_models import make_batch
 # substrings marking loss terms that MUST be zero with no gt boxes
 _ZERO_ON_EMPTY = ('bbox', 'giou', 'centerness', 'dfl', '_xy', '_wh',
                   'mask', 'dn_', 'pts', 'pull', 'push', 'offset', 'positive_bag',
-                  'loss_pos', 'loss_center')
+                  'loss_pos', 'loss_center', 'shape')
 
 
 def _build(name):
@@ -83,6 +83,9 @@ def _build(name):
             num_classes=4, depth=18),
         'crowddet': lambda: _imp('crowddet', 'CrowdDetDetector')(
             num_classes=4, depth=18),
+        'ga_faster': lambda: _imp(
+            'ga_faster_rcnn', 'GAFasterRCNNDetector')(num_classes=4,
+                                                      depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
         'cascade_rcnn': lambda: CascadeRCNNDetector(num_classes=4,
@@ -115,7 +118,7 @@ FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
             'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
-            'nasfcos', 'crowddet',
+            'nasfcos', 'crowddet', 'ga_faster',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
