@@ -127,6 +127,17 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'RPN':
         from ..models.detectors.fast_rcnn import RPNDetector
         return RPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CascadeRPN':
+        from ..models.detectors.cascade_rpn import CascadeRPNDetector
+        return CascadeRPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CascadeRPNFasterRCNN':
+        from ..models.detectors.cascade_rpn import \
+            CascadeRPNFasterRCNNDetector
+        return CascadeRPNFasterRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'DoubleHeadRCNN':
+        from ..models.detectors.double_head_rcnn import \
+            DoubleHeadRCNNDetector
+        return DoubleHeadRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'GAFasterRCNN':
         from ..models.detectors.ga_faster_rcnn import GAFasterRCNNDetector
         return GAFasterRCNNDetector(test_cfg=test_cfg, **base)

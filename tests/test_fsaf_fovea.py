@@ -239,3 +239,44 @@ def test_garpn_detector_loss_and_predict():
     res = det.predict_jit(variables, batch)
     assert res.bboxes.shape[1:] == (300, 4)
     assert bool((np.asarray(res.labels) == 0).all())
+
+
+def test_cascade_rpn_offsets_and_region_assign():
+    """anchor_offsets: a 2*stride square anchor centered on its cell is
+    exactly the regular 3x3 grid (all-zero offsets); region_assign
+    routes the gt to its scale level with a positive core."""
+    import jax.numpy as jnp
+    import numpy as np
+    from erd_tpu.models.heads.cascade_rpn_head import (anchor_offsets,
+                                                       region_assign,
+                                                       square_anchors)
+    pts = jnp.asarray([[2.0, 2.0], [6.0, 2.0]])
+    strides = jnp.asarray([4.0, 4.0])
+    sq = square_anchors(pts, strides, scale=2.0)  # side 8 = 2*stride
+    off = anchor_offsets(sq, pts, strides)
+    # reference convention (cascade_rpn_head.py _ctr_offset): deform taps
+    # live on INTEGER cell indices while anchor centers are at cell+0.5,
+    # so a centered 2*stride square anchor gives a uniform +0.5 offset
+    np.testing.assert_allclose(np.asarray(off), 0.5, atol=1e-6)
+    # shifting the anchor one stride in x adds exactly +1 cell in x only
+    shifted = sq + jnp.asarray([4.0, 0.0, 4.0, 0.0])
+    off2 = anchor_offsets(shifted, pts, strides)
+    np.testing.assert_allclose(np.asarray(off2[..., 1]), 1.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(off2[..., 0]), 0.5, atol=1e-6)
+
+    # region assign: single level, gt core covers only its center cells
+    h = w = 8
+    xs = (np.arange(w) + 0.5) * 4.0
+    ys = (np.arange(h) + 0.5) * 4.0
+    gx, gy = np.meshgrid(xs, ys)
+    points = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1))
+    st = jnp.full((h * w,), 4.0)
+    gt = jnp.asarray([[4.0, 4.0, 28.0, 28.0]])
+    labels, gt_idx = region_assign(points, st, (h * w,), gt,
+                                   jnp.asarray([True]), (4.0,))
+    labels = np.asarray(labels).reshape(h, w)
+    assert (labels == 1).sum() > 0
+    # the core (ratio .2 of a 24px box ~ 4.8px around center 16,16)
+    assert labels[3, 3] == 1 and labels[4, 4] == 1
+    assert labels[0, 0] == 0  # far corner is a clean negative
+    assert (np.asarray(gt_idx) == 0).all()
