@@ -42,6 +42,15 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     )
     if model_cfg.get('dcn_stages'):
         base['dcn_stages'] = tuple(model_cfg['dcn_stages'])
+    # backbone plugin passthrough (gcnet / empirical_attention configs);
+    # only detectors whose backbones expose these accept them, so they
+    # ride **base like dcn_stages does
+    for k in ('context_block_stages', 'gen_attention_stages'):
+        if model_cfg.get(k):
+            base[k] = tuple(model_cfg[k])
+    if model_cfg.get('context_block_ratio'):
+        base['context_block_ratio'] = float(
+            model_cfg['context_block_ratio'])
     test_cfg = GFLTestConfig(
         score_thr=test.get('score_thr', 0.05),
         nms_pre=test.get('nms_pre', 1000),
@@ -127,6 +136,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'RPN':
         from ..models.detectors.fast_rcnn import RPNDetector
         return RPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'GRoIEFasterRCNN':
+        from ..models.detectors.groie_faster_rcnn import \
+            GRoIEFasterRCNNDetector
+        return GRoIEFasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'CascadeRPN':
         from ..models.detectors.cascade_rpn import CascadeRPNDetector
         return CascadeRPNDetector(test_cfg=test_cfg, **base)

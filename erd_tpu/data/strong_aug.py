@@ -424,3 +424,104 @@ class MinIoURandomCrop:
                     b, labels, ignore = s.boxes, s.labels, s.ignore
                 img = s.img[patch[1]:patch[3], patch[0]:patch[2]]
                 return Sample(img, b.astype(np.float32), labels, ignore)
+
+
+# ---------------------------------------------------------------------------
+# CopyPaste (transforms.py:2773, configs/simple_copy_paste)
+# ---------------------------------------------------------------------------
+def _crop_to_bitmap(crop, box, h, w):
+    """Box-normalized mask crop -> full-image bitmap."""
+    from .transforms import resize_image
+    x1, y1, x2, y2 = [int(round(v)) for v in box]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(x2, w), min(y2, h)
+    out = np.zeros((h, w), np.uint8)
+    if x2 > x1 and y2 > y1:
+        patch = resize_image((crop * 255).astype(np.uint8)[..., None],
+                             (y2 - y1, x2 - x1))[..., 0]
+        out[y1:y2, x1:x2] = patch >= 128
+    return out
+
+
+def _bitmap_to_crop(bitmap, box, res):
+    from .transforms import resize_image
+    h, w = bitmap.shape
+    x1, y1, x2, y2 = [int(round(v)) for v in box]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(max(x2, x1 + 1), w), min(max(y2, y1 + 1), h)
+    patch = bitmap[y1:y2, x1:x2].astype(np.uint8) * 255
+    return (resize_image(patch[..., None], (res, res))[..., 0] >=
+            128).astype(np.float32)
+
+
+@dataclass
+class CopyPaste:
+    """Simple Copy-Paste (transforms.py:2773): paste a random subset of
+    another image's instances onto this one; destination instances keep
+    only their un-occluded remainder (boxes recomputed from the updated
+    bitmaps, instances dropped when the box moved more than
+    ``bbox_occluded_thr`` px on every side AND the remaining mask area is
+    below ``mask_occluded_thr``). Operates on the repo's box-normalized
+    mask-crop layout by round-tripping through full-image bitmaps.
+    """
+    max_num_pasted: int = 100
+    bbox_occluded_thr: int = 10
+    mask_occluded_thr: int = 300
+    mask_res: int = 56
+
+    def __call__(self, dst: Sample, dst_masks, src: Sample, src_masks,
+                 rng: np.random.RandomState):
+        """masks: per-instance box-normalized crops (list of (r, r))."""
+        h, w = dst.img.shape[:2]
+        n_src = len(src.boxes)
+        if n_src == 0:
+            return dst, dst_masks
+        n_sel = rng.randint(0, min(n_src, self.max_num_pasted)) + 1
+        sel = rng.choice(n_src, size=min(n_sel, n_src), replace=False)
+        src_bitmaps = [
+            _crop_to_bitmap(src_masks[i], src.boxes[i], h, w)
+            for i in sel]
+        composed = np.zeros((h, w), np.uint8)
+        for m in src_bitmaps:
+            composed |= m
+        # occlude destination instances
+        dst_bitmaps = [
+            _crop_to_bitmap(dst_masks[i], dst.boxes[i], h, w) & ~composed
+            for i in range(len(dst.boxes))]
+        new_boxes = []
+        keep = []
+        for i, m in enumerate(dst_bitmaps):
+            ys, xs = np.nonzero(m)
+            if len(ys) == 0:
+                # fully occluded: empty-mask box is all-zero (reference
+                # get_bboxes on an empty BitmapMask) -> fails the box test
+                nb = np.zeros(4, np.float32)
+            else:
+                nb = np.asarray([xs.min(), ys.min(), xs.max() + 1,
+                                 ys.max() + 1], np.float32)
+            new_boxes.append(nb)
+            moved = np.abs(nb - dst.boxes[i])
+            keep.append(bool((moved <= self.bbox_occluded_thr).all() or
+                             m.sum() > self.mask_occluded_thr))
+        keep = np.asarray(keep, bool)
+        src_img = src.img
+        if src_img.shape[:2] != (h, w):  # same-canvas requirement
+            from .transforms import resize_image
+            src_img = resize_image(src_img, (h, w))
+        img = (dst.img * (1 - composed[..., None]) +
+               src_img * composed[..., None]).astype(dst.img.dtype)
+        out_boxes = [b for b, k in zip(new_boxes, keep) if k]
+        out_boxes += [src.boxes[i] for i in sel]
+        out_labels = np.concatenate([dst.labels[keep],
+                                     src.labels[sel]]).astype(np.int32)
+        out_ignore = np.concatenate([dst.ignore[keep],
+                                     np.zeros(len(sel), bool)])
+        out_masks = [
+            _bitmap_to_crop(m, b, self.mask_res)
+            for m, b, k in zip(dst_bitmaps, new_boxes, keep) if k]
+        out_masks += [_bitmap_to_crop(b2, src.boxes[i], self.mask_res)
+                      for b2, i in zip(src_bitmaps, sel)]
+        out = Sample(img=img,
+                     boxes=np.asarray(out_boxes, np.float32).reshape(-1, 4),
+                     labels=out_labels, ignore=out_ignore)
+        return out, out_masks

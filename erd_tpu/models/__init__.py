@@ -45,6 +45,7 @@ from .detectors.ga_faster_rcnn import (GAFasterRCNNDetector,
 from .detectors.double_head_rcnn import DoubleHeadRCNNDetector
 from .detectors.cascade_rpn import (CascadeRPNDetector,
                                     CascadeRPNFasterRCNNDetector)
+from .detectors.groie_faster_rcnn import GRoIEFasterRCNNDetector
 from .detectors.solov2 import SOLOV2Detector
 from .detectors.soft_teacher import SemiTrainConfig, SoftTeacherDetector
 from .detectors.single_stage import GFLDetector, GFLNet
@@ -59,7 +60,7 @@ __all__ = [
     'ERDConfig', 'ers_select', 'AnchorContext', 'RetinaNetDetector',
     'FCOSDetector', 'ATSSDetector', 'LDDetector', 'FasterRCNNDetector',
     'TOODDetector', 'VFNetDetector', 'CenterNetDetector', 'PAADetector', 'SOLOV2Detector', 'SoftTeacherDetector', 'SemiTrainConfig',
-    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector', 'PointRendDetector', 'GridRCNNDetector', 'QueryInstDetector', 'SOLODetector', 'BoxInstDetector', 'CrowdDetDetector', 'SCNetDetector', 'TridentFasterRCNNDetector', 'NASFCOSDetector', 'DetectoRSFasterRCNNDetector', 'CentripetalNetDetector', 'FastRCNNDetector', 'RPNDetector', 'GAFasterRCNNDetector', 'GARPNDetector', 'DoubleHeadRCNNDetector', 'CascadeRPNDetector', 'CascadeRPNFasterRCNNDetector',
+    'FSAFDetector', 'FoveaDetector', 'YOLOFDetector', 'RepPointsDetector', 'DDODDetector', 'CornerNetDetector', 'LibraRCNNDetector', 'PanopticFPNDetector', 'SparseRCNNDetector', 'FreeAnchorDetector', 'AutoAssignDetector', 'PISARetinaNetDetector', 'MaskScoringRCNNDetector', 'HTCDetector', 'DynamicRCNNDetector', 'CondInstDetector', 'YOLACTDetector', 'Mask2FormerDetector', 'LADDetector', 'PointRendDetector', 'GridRCNNDetector', 'QueryInstDetector', 'SOLODetector', 'BoxInstDetector', 'CrowdDetDetector', 'SCNetDetector', 'TridentFasterRCNNDetector', 'NASFCOSDetector', 'DetectoRSFasterRCNNDetector', 'CentripetalNetDetector', 'FastRCNNDetector', 'RPNDetector', 'GAFasterRCNNDetector', 'GARPNDetector', 'DoubleHeadRCNNDetector', 'CascadeRPNDetector', 'CascadeRPNFasterRCNNDetector', 'GRoIEFasterRCNNDetector',
     'GFLTrainConfig', 'GFLTestConfig', 'flatten_levels', 'gfl_loss',
     'gfl_predict', 'gfl_targets', 'Preprocessor',
 ]

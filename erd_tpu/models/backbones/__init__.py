@@ -1,3 +1,4 @@
+from .convnext import ConvNeXt
 from .csp_darknet import CSPDarknet
 from .darknet import Darknet
 from .hourglass import HourglassNet
@@ -17,5 +18,5 @@ from .detectors_resnet import DetectoRSResNet
 
 __all__ = [
     'ResNet', 'ResNeXt', 'Res2Net', 'ResNeSt', 'RegNet', 'HRNet', 'HourglassNet',
-    'MobileNetV2', 'PVTv2', 'EfficientNet', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer', 'TridentResNet', 'DetectoRSResNet',
+    'MobileNetV2', 'PVTv2', 'EfficientNet', 'ConvNeXt', 'CSPDarknet', 'Darknet', 'SSDVGG', 'SwinTransformer', 'TridentResNet', 'DetectoRSResNet',
 ]

@@ -39,6 +39,10 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     dcn: bool = False
     dcn_modulated: bool = True
+    # stage plugins (mmcv plugins=..., gcnet/empirical_attention configs)
+    context_block: bool = False        # ContextBlock, position after_conv3
+    context_block_ratio: float = 0.25
+    gen_attention: bool = False        # GeneralizedAttention, after_conv2
 
     @nn.compact
     def __call__(self, x):
@@ -63,9 +67,18 @@ class Bottleneck(nn.Module):
                         use_bias=False, dtype=y.dtype, name='conv2')(y)
         y = FrozenBatchNorm(self.planes, name='bn2')(y)
         y = nn.relu(y)
+        if self.gen_attention:
+            from ..plugins import GeneralizedAttention
+            y = GeneralizedAttention(name='gen_attention')(
+                y.astype(jnp.float32)).astype(y.dtype)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=y.dtype,
                     name='conv3')(y)
         y = FrozenBatchNorm(out_ch, name='bn3')(y)
+        if self.context_block:
+            from ..plugins import ContextBlock
+            y = ContextBlock(ratio=self.context_block_ratio,
+                             name='context_block')(
+                y.astype(jnp.float32)).astype(y.dtype)
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1),
                                strides=(self.stride, self.stride),
@@ -119,6 +132,13 @@ class ResNet(nn.Module):
     # stage_with_dcn=(False, True, True, True) in the dcnv2 configs)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = True
+    # ContextBlock plugin stages (configs/gcnet/*: (False, True, True,
+    # True) with ratio 1/4 or 1/16, position after_conv3)
+    context_block_stages: Tuple[bool, ...] = (False, False, False, False)
+    context_block_ratio: float = 0.25
+    # GeneralizedAttention '1111' stages (configs/empirical_attention/*:
+    # (False, False, True, True), after_conv2)
+    gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,8 +164,15 @@ class ResNet(nn.Module):
                 needs_ds = b == 0 and (stride != 1 or
                                        x.shape[-1] != planes * expansion)
                 kw = {}
-                if block_type == 'bottleneck' and self.dcn_stages[stage]:
-                    kw = dict(dcn=True, dcn_modulated=self.dcn_modulated)
+                if block_type == 'bottleneck':
+                    if self.dcn_stages[stage]:
+                        kw = dict(dcn=True,
+                                  dcn_modulated=self.dcn_modulated)
+                    if self.context_block_stages[stage]:
+                        kw.update(context_block=True,
+                                  context_block_ratio=self.context_block_ratio)
+                    if self.gen_attention_stages[stage]:
+                        kw.update(gen_attention=True)
                 x = block_cls(planes, stride=stride if b == 0 else 1,
                               downsample=needs_ds, dilation=dilation,
                               name=f'layer{stage + 1}_block{b}', **kw)(x)

@@ -123,6 +123,15 @@ class FasterRCNNDetector:
                                           method='rpn')
         return feats, rpn_cls, rpn_reg
 
+    def _roi_feats(self, variables, feats, rois):
+        """RoI feature extraction hook (overridden by GRoIE)."""
+        return jax.vmap(
+            lambda f0, f1, f2, f3, r: multilevel_roi_align(
+                [f0, f1, f2, f3], r)
+        )(feats[0].astype(jnp.float32), feats[1].astype(jnp.float32),
+          feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
+          rois)
+
     def loss(self, variables, batch):
         images = batch['images']
         ctx = self.anchor_context(images.shape[1:3])
@@ -154,12 +163,7 @@ class FasterRCNNDetector:
         )(rngs, prop_boxes, prop_mask, batch['gt'].bboxes,
           batch['gt'].labels, batch['gt'].mask)
 
-        roi_feats = jax.vmap(
-            lambda f0, f1, f2, f3, r: multilevel_roi_align(
-                [f0, f1, f2, f3], r)
-        )(feats[0].astype(jnp.float32), feats[1].astype(jnp.float32),
-          feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
-          samples.rois)
+        roi_feats = self._roi_feats(variables, feats, samples.rois)
         s = samples.rois.shape[1]
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * s, 7, 7, -1),
@@ -181,12 +185,7 @@ class FasterRCNNDetector:
             batch['meta'].img_shape, self.rpn_coder,
             self.proposal_cfg_test)
         b, p = prop_boxes.shape[:2]
-        roi_feats = jax.vmap(
-            lambda f0, f1, f2, f3, r: multilevel_roi_align(
-                [f0, f1, f2, f3], r)
-        )(feats[0].astype(jnp.float32), feats[1].astype(jnp.float32),
-          feats[2].astype(jnp.float32), feats[3].astype(jnp.float32),
-          prop_boxes)
+        roi_feats = self._roi_feats(variables, feats, prop_boxes)
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * p, 7, 7, -1),
             method='roi_forward')

@@ -44,14 +44,20 @@ class GFLNet(nn.Module):
     compute_dtype: Any = jnp.float32
     remat: bool = False
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    context_block_stages: Tuple[bool, ...] = (False, False, False, False)
+    context_block_ratio: float = 0.25
+    gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, images, return_feats: bool = False):
         backbone_cls = nn.remat(ResNet) if self.remat else ResNet
-        feats = backbone_cls(depth=self.depth,
-                             compute_dtype=self.compute_dtype,
-                             dcn_stages=self.dcn_stages,
-                             name='backbone')(images)
+        feats = backbone_cls(
+            depth=self.depth, compute_dtype=self.compute_dtype,
+            dcn_stages=self.dcn_stages,
+            context_block_stages=self.context_block_stages,
+            context_block_ratio=self.context_block_ratio,
+            gen_attention_stages=self.gen_attention_stages,
+            name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
                     start_level=1, add_extra_convs='on_output', num_outs=5,
@@ -77,6 +83,9 @@ class GFLDetector:
     compute_dtype: Any = jnp.float32
     remat: bool = False
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    context_block_stages: Tuple[bool, ...] = (False, False, False, False)
+    context_block_ratio: float = 0.25
+    gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
@@ -86,7 +95,10 @@ class GFLDetector:
         self.net = GFLNet(num_classes=self.num_classes, depth=self.depth,
                           reg_max=self.reg_max,
                           compute_dtype=self.compute_dtype,
-                          remat=self.remat, dcn_stages=self.dcn_stages)
+                          remat=self.remat, dcn_stages=self.dcn_stages,
+                          context_block_stages=self.context_block_stages,
+                          context_block_ratio=self.context_block_ratio,
+                          gen_attention_stages=self.gen_attention_stages)
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         if self.preprocessor.compute_dtype != self.compute_dtype:
             self.preprocessor = replace(self.preprocessor,

@@ -155,3 +155,35 @@ def cast_compute_params(variables, dtype):
     out = dict(variables)
     out['params'] = jax.tree.map(cast, variables['params'])
     return out
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (mmcv ConvWS2d; the reference's gn+ws
+    configs conv_cfg=dict(type='ConvWS')): the kernel is normalized to
+    zero mean / unit std over (kh, kw, cin) per output channel before the
+    convolution, pairing with GroupNorm for batch-size-robust training.
+    """
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_bias: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param('kernel', nn.initializers.he_normal(),
+                            (k, k, x.shape[-1], self.features),
+                            jnp.float32)
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        std = kernel.std(axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) / (std + self.eps)
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kernel,
+            window_strides=(self.strides, self.strides),
+            padding=[torch_pad(k)] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            y = y + self.param('bias', nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return y.astype(x.dtype)

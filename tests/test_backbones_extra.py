@@ -189,3 +189,47 @@ def test_ssh_context_module():
     assert outs[0].shape == (1, 8, 8, 32)
     # half + quarter + quarter channel split
     assert (np.asarray(outs[0]) >= 0).all()  # relu'd concat
+
+
+def test_fpg_neck_shapes_and_skip_stages():
+    """FPG: 9 bottom-up grid stages over 5 levels; output channels and
+    per-level strides match an FPN drop-in; the skip_inds staircase means
+    early stages leave upper levels untouched (param names pinned)."""
+    import jax
+    import jax.numpy as jnp
+    from erd_tpu.models.necks.fpg import FPG
+    neck = FPG(in_channels=(16, 32, 64, 128), out_channels=24,
+               inter_channels=24, stack_times=3,
+               skip_inds=((0, 1), (0,), (), (), ()))
+    feats = [jnp.ones((1, 32 // (2 ** i), 32 // (2 ** i), c))
+             for i, c in enumerate((16, 32, 64, 128))]
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert len(outs) == 5
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 32 // (2 ** i), 32 // (2 ** i), 24), o.shape
+    names = str(jax.tree_util.tree_structure(v))
+    # level 0 skips stages 0 and 1 -> its first transition is at stage 2
+    assert 's0_l0_lateral' not in names and 's2_l0_lateral' in names
+    assert 's0_l2_lateral' in names
+
+
+def test_convnext_tiny_shapes():
+    """ConvNeXt-T: strides 4/8/16/32, dims 96/192/384/768; block is a
+    residual with layer-scale (zero-ish init -> near-identity blocks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from erd_tpu.models.backbones.convnext import ConvNeXt, ConvNeXtBlock
+    net = ConvNeXt(arch='tiny')
+    x = jnp.ones((1, 64, 64, 3))
+    v = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 96), (1, 8, 8, 192), (1, 4, 4, 384), (1, 2, 2, 768)]
+    blk = ConvNeXtBlock(16)
+    xb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    vb = blk.init(jax.random.PRNGKey(2), xb)
+    # layer_scale gamma=1e-6 -> block ~ identity at init
+    np.testing.assert_allclose(np.asarray(blk.apply(vb, xb)),
+                               np.asarray(xb), atol=1e-4)

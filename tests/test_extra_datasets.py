@@ -178,3 +178,39 @@ def test_openimages_dataset_parsing(tmp_path):
     assert rec.group_of.tolist() == [False, True]
     # cat (0) is a descendant of animal (1)
     assert ds.relation_matrix[0, 1] and not ds.relation_matrix[1, 0]
+
+
+def test_copy_paste_occlusion_and_append():
+    """CopyPaste: source instances paste over the destination; a fully
+    covered destination instance is dropped, an untouched one survives
+    with its box intact, and pasted pixels come from the source image."""
+    import numpy as np
+    from erd_tpu.data.strong_aug import CopyPaste, Sample
+    h = w = 64
+    dst_img = np.zeros((h, w, 3), np.uint8)
+    src_img = np.full((h, w, 3), 200, np.uint8)
+    full = np.ones((56, 56), np.float32)
+    # dst: one instance at (0,0,16,16) (will be covered), one at (40,40,60,60)
+    dst = Sample(img=dst_img,
+                 boxes=np.asarray([[0, 0, 16, 16], [40, 40, 60, 60]], np.float32),
+                 labels=np.asarray([0, 1], np.int32),
+                 ignore=np.zeros(2, bool))
+    dst_masks = [full.copy(), full.copy()]
+    # src: a single instance exactly covering (0,0,20,20)
+    src = Sample(img=src_img,
+                 boxes=np.asarray([[0, 0, 20, 20]], np.float32),
+                 labels=np.asarray([2], np.int32),
+                 ignore=np.zeros(1, bool))
+    src_masks = [full.copy()]
+    cp = CopyPaste(mask_occluded_thr=50)
+    out, out_masks = cp(dst, dst_masks, src, src_masks,
+                        np.random.RandomState(0))
+    # pasted region shows source pixels; elsewhere untouched
+    assert (out.img[5, 5] == 200).all()
+    assert (out.img[50, 50] == 0).all()
+    # covered dst instance dropped; surviving + pasted remain
+    assert len(out.boxes) == 2
+    assert set(out.labels.tolist()) == {1, 2}
+    surv = out.boxes[out.labels == 1][0]
+    np.testing.assert_allclose(surv, [40, 40, 60, 60])
+    assert len(out_masks) == 2

@@ -83,6 +83,9 @@ def _build(name):
             num_classes=4, depth=18),
         'crowddet': lambda: _imp('crowddet', 'CrowdDetDetector')(
             num_classes=4, depth=18),
+        'groie': lambda: _imp(
+            'groie_faster_rcnn', 'GRoIEFasterRCNNDetector')(num_classes=4,
+                                                            depth=18),
         'cascade_rpn_faster': lambda: _imp(
             'cascade_rpn', 'CascadeRPNFasterRCNNDetector')(num_classes=4,
                                                            depth=18),
@@ -124,7 +127,7 @@ FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
             'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
-            'nasfcos', 'crowddet', 'ga_faster', 'double_head', 'cascade_rpn_faster',
+            'nasfcos', 'crowddet', 'ga_faster', 'double_head', 'cascade_rpn_faster', 'groie',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
