@@ -121,6 +121,53 @@ class PipelineSwitchHook(Hook):
             log.info(f'switched train pipeline at epoch {epoch + 1}')
 
 
+class YOLOXModeSwitchHook(Hook):
+    """YOLOX last-epochs switch (yolox_mode_switch_hook.py): at
+    ``max_epochs - num_last_epochs`` turn off the strong augmentations
+    (swap in ``new_pipeline``) and enable the extra L1 regression loss
+    on the detector (``l1_loss_weight`` 0 -> 1; the loss closure is
+    re-jitted so the flag takes effect)."""
+
+    def __init__(self, max_epochs, num_last_epochs=15, new_pipeline=None):
+        self.switch_epoch = max_epochs - num_last_epochs
+        self.new_pipeline = new_pipeline
+        self._done = False
+
+    def after_epoch(self, trainer, epoch):
+        import jax
+        if self._done or epoch + 1 < self.switch_epoch:
+            return
+        if self.new_pipeline is not None:
+            trainer.loader.pipeline = self.new_pipeline
+        if hasattr(trainer.det, 'l1_loss_weight'):
+            trainer.det.l1_loss_weight = 1.0
+            trainer.det.loss_jit = jax.jit(trainer.det.loss)
+        self._done = True
+        log.info(f'YOLOX mode switch at epoch {epoch + 1}: '
+                 'strong augs off, L1 loss on')
+
+
+class TeacherStudentValHook(Hook):
+    """TeacherStudentValLoop equivalent (reference
+    engine/runner/loops.py:9-38): for semi-supervised trainers carrying
+    EMA teacher variables, ALSO validate the teacher each val interval
+    and log its metrics under a ``teacher/`` prefix — the teacher is the
+    deployed model in the Mean-Teacher recipes."""
+
+    def __init__(self, interval=1):
+        self.interval = interval
+
+    def after_epoch(self, trainer, epoch):
+        tv = getattr(trainer, 'teacher_variables', None)
+        if (tv is None or getattr(trainer, 'val_fn', None) is None or
+                (epoch + 1) % self.interval != 0):
+            return
+        metrics = trainer.val_fn(tv)
+        if isinstance(metrics, dict):
+            msg = ' '.join(f'{k} {v:.4f}' for k, v in metrics.items())
+            log.info(f'epoch {epoch + 1} teacher val: {msg}')
+
+
 class SetEpochInfoHook(Hook):
     """Expose the current epoch on the trainer (set_epoch_info_hook.py)."""
 

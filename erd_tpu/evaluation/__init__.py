@@ -14,3 +14,19 @@ __all__ = [
     'LvisMAPEvaluator', 'LVISMetric', 'DumpDetResults',
     'CrowdHumanMetric', 'PanopticMetric', 'OpenImagesMetric',
 ]
+from .recall import eval_recalls, occluded_separated_recall  # noqa: F401,E402
+
+
+def get_classes(dataset: str):
+    """Class-name registry (mmdet/evaluation/functional/class_names.py
+    get_classes): canonical label lists by dataset alias."""
+    from ..data.coco import COCO_CLASSES
+    from ..data.voc import VOC_CLASSES
+    aliases = {
+        'coco': COCO_CLASSES, 'voc': VOC_CLASSES, 'pascal_voc': VOC_CLASSES,
+    }
+    from ..data.extra_datasets import CITYSCAPES_CLASSES
+    aliases['cityscapes'] = CITYSCAPES_CLASSES
+    if dataset not in aliases:
+        raise KeyError(f'unknown dataset alias: {dataset}')
+    return list(aliases[dataset])

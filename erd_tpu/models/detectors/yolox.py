@@ -213,13 +213,28 @@ class YOLOXDetector:
             lb = iou_loss(boxes_i, tgt_boxes, mode='square',
                           reduction='none')
             l_box = 5.0 * (lb * pos).sum() / n_pos
-            return l_cls, l_obj, l_box
+            # last-epochs L1 on the RAW parameterization (yolox_head.py
+            # use_l1, enabled by YOLOXModeSwitchHook): t_xy =
+            # (gt_center - grid_center)/stride, t_wh = log(gt_wh/stride)
+            l_l1 = jnp.asarray(0.0, jnp.float32)
+            if self.l1_loss_weight > 0:
+                gt_c = (tgt_boxes[:, :2] + tgt_boxes[:, 2:]) / 2
+                gt_wh = jnp.clip(tgt_boxes[:, 2:] - tgt_boxes[:, :2],
+                                 1e-3, None)
+                t_xy = (gt_c - pts) / strides[:, None]
+                t_wh = jnp.log(gt_wh / strides[:, None])
+                t = jnp.concatenate([t_xy, t_wh], axis=-1)
+                l1 = jnp.abs(pred_i[:, :4] - t).sum(-1)
+                l_l1 = self.l1_loss_weight * (l1 * pos).sum() / n_pos
+            return l_cls, l_obj, l_box, l_l1
 
-        l_cls, l_obj, l_box = jax.vmap(single)(
+        l_cls, l_obj, l_box, l_l1 = jax.vmap(single)(
             preds, boxes, cls_p * obj_p[..., None], gt.bboxes, gt.labels,
             gt.mask)
         losses = dict(loss_cls=l_cls.mean(), loss_obj=l_obj.mean(),
                       loss_bbox=l_box.mean())
+        if self.l1_loss_weight > 0:
+            losses['loss_l1_bbox'] = l_l1.mean()
         consts = {k: v for k, v in variables.items() if k != 'params'}
         consts['batch_stats'] = new_state['batch_stats']
         return losses, consts

@@ -1,0 +1,80 @@
+"""eval_recalls, occluded/separated recall, get_classes, YOLOX L1 mode."""
+import numpy as np
+
+
+def test_eval_recalls_greedy_matching():
+    from erd_tpu.evaluation import eval_recalls
+    gts = [np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)]
+    # proposal 1 covers gt1 exactly; proposal 2 half-covers gt2
+    props = [np.asarray([[0, 0, 10, 10, 0.9], [20, 20, 30, 25, 0.8]],
+                        np.float32)]
+    r = eval_recalls(gts, props, proposal_nums=(1, 2), iou_thrs=(0.5,))
+    assert r[0, 0] == 0.5     # top-1: only gt1 recalled
+    assert r[1, 0] == 1.0     # half-cover IoU is exactly 0.5 -> >= thr
+    r2 = eval_recalls(gts, props, proposal_nums=(2,), iou_thrs=(0.4, 0.95))
+    assert r2[0, 0] == 1.0    # both clear 0.4
+    assert r2[0, 1] == 0.5    # only the exact match clears 0.95
+    # one-to-one: a single proposal cannot recall two gts
+    dup = [np.asarray([[0, 0, 10, 10, 0.9]], np.float32)]
+    gts2 = [np.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)]
+    r3 = eval_recalls(gts2, dup, proposal_nums=(1,), iou_thrs=(0.5,))
+    assert r3[0, 0] == 0.5
+
+
+def test_occluded_separated_recall():
+    from erd_tpu.evaluation import occluded_separated_recall
+    m = np.zeros((8, 8), bool)
+    m[:4, :4] = True
+    gt_ann = [(1, 'cat', m), (2, 'dog', m)]
+    dets = {1: [(0.9, 'cat', m)],          # hit
+            2: [(0.9, 'cat', m),           # wrong class
+                (0.5, 'dog', ~m)]}         # right class, IoU 0
+    recall, hits = occluded_separated_recall(dets, gt_ann)
+    assert hits == 1 and recall == 50.0
+
+
+def test_get_classes_registry():
+    from erd_tpu.evaluation import get_classes
+    assert get_classes('coco')[0] == 'person' and len(get_classes('coco')) == 80
+    assert len(get_classes('voc')) == 20
+
+
+def test_yolox_l1_mode_switch():
+    """YOLOXModeSwitchHook enables the raw-parameterization L1 term."""
+    import jax
+    from erd_tpu.models.detectors.yolox import YOLOXDetector
+    from tests.test_models import make_batch
+    det = YOLOXDetector(num_classes=4)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_batch(h=64, w=96, gts=[([[10, 10, 60, 50]], [1]),
+                                        ([[5, 5, 40, 40]], [0])])
+    base = det.loss_jit(variables, batch)
+    assert 'loss_l1_bbox' not in base
+
+    class T:  # minimal trainer stub for the hook
+        pass
+    from erd_tpu.engine import YOLOXModeSwitchHook
+    tr = T()
+    tr.det = det
+    tr.loader = T()
+    hook = YOLOXModeSwitchHook(max_epochs=10, num_last_epochs=5)
+    hook.after_epoch(tr, epoch=4)  # epoch 5 == 10-5 -> switch
+    after = det.loss_jit(variables, batch)
+    assert float(after['loss_l1_bbox']) > 0
+    for k in base:
+        np.testing.assert_allclose(float(after[k]), float(base[k]),
+                                   rtol=1e-5)
+
+
+def test_teacher_student_val_hook():
+    from erd_tpu.engine import TeacherStudentValHook
+    calls = []
+
+    class T:
+        teacher_variables = {'params': {}}
+        val_fn = staticmethod(lambda v: calls.append(v) or {'mAP': 0.5})
+    hook = TeacherStudentValHook(interval=2)
+    hook.after_epoch(T(), epoch=0)   # epoch 1: not on interval
+    assert calls == []
+    hook.after_epoch(T(), epoch=1)   # epoch 2: teacher validated
+    assert len(calls) == 1 and calls[0] == {'params': {}}
