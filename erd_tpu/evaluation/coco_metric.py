@@ -27,7 +27,8 @@ class CocoMetric:
                  metrics: Union[str, Sequence[str]] = ('bbox',)):
         if isinstance(metrics, str):
             metrics = (metrics,)
-        assert all(m in ('bbox', 'segm') for m in metrics), metrics
+        assert all(m in ('bbox', 'segm', 'proposal_fast')
+                   for m in metrics), metrics
         self.dataset = dataset
         self.metrics = tuple(metrics)
         self.classwise = classwise
@@ -36,7 +37,10 @@ class CocoMetric:
             m: CocoMAPEvaluator(dataset.records, dataset.num_classes,
                                 class_names=list(dataset.label_names),
                                 metric=m)
-            for m in self.metrics}
+            for m in self.metrics if m != 'proposal_fast'}
+        # proposal_fast (coco_metric.py:145-184): class-agnostic AR via
+        # eval_recalls on the raw boxes (no category matching)
+        self._proposal_rows: Dict[int, np.ndarray] = {}
         self._json_rows: Dict[str, List[dict]] = {m: [] for m in
                                                   self.metrics}
         self._ori_shapes = {r.img_id: (r.height, r.width)
@@ -86,6 +90,10 @@ class CocoMetric:
             labels=np.asarray(labels, np.int64), masks=masks)
         for ev in self.evaluators.values():
             ev.process(res)
+        if 'proposal_fast' in self.metrics:
+            order = np.argsort(-res.scores)
+            self._proposal_rows[res.img_id] = np.concatenate(
+                [res.bboxes[order], res.scores[order][:, None]], axis=1)
         if self.outfile_prefix is not None:
             self._collect_json(res)
 
@@ -111,6 +119,22 @@ class CocoMetric:
 
     def compute_metrics(self) -> Dict[str, float]:
         metrics: Dict[str, float] = {}
+        if 'proposal_fast' in self.metrics:
+            from .recall import eval_recalls
+            gts, props = [], []
+            for rec in self.dataset.records:
+                gb = rec.bboxes[~rec.ignore] if len(rec.bboxes) \
+                    else rec.bboxes.reshape(-1, 4)
+                gts.append(gb)
+                props.append(self._proposal_rows.get(
+                    rec.img_id, np.zeros((0, 5), np.float32)))
+            nums = (100, 300, 1000)
+            recalls = eval_recalls(
+                gts, props, proposal_nums=nums,
+                iou_thrs=np.arange(0.5, 0.96, 0.05))
+            ar = recalls.mean(axis=1)
+            for k, n in enumerate(nums):
+                metrics[f'AR@{n}'] = float(round(ar[k], 4))
         for name, ev in self.evaluators.items():
             if self.outfile_prefix is not None:
                 with open(f'{self.outfile_prefix}.{name}.json', 'w') as f:

@@ -78,3 +78,29 @@ def test_teacher_student_val_hook():
     assert calls == []
     hook.after_epoch(T(), epoch=1)   # epoch 2: teacher validated
     assert len(calls) == 1 and calls[0] == {'params': {}}
+
+
+def test_coco_metric_proposal_fast(tmp_path):
+    """metric='proposal_fast': class-agnostic AR over the recall grid."""
+    import json
+    from erd_tpu.data import CocoDataset
+    from erd_tpu.evaluation.coco_metric import CocoMetric
+    ann = dict(
+        images=[dict(id=1, file_name='a.jpg', width=100, height=100)],
+        annotations=[
+            dict(id=1, image_id=1, category_id=1, bbox=[0, 0, 10, 10],
+                 area=100, iscrowd=0),
+            dict(id=2, image_id=1, category_id=1, bbox=[50, 50, 20, 20],
+                 area=400, iscrowd=0)],
+        categories=[dict(id=1, name='person')])
+    p = tmp_path / 'ann.json'
+    p.write_text(json.dumps(ann))
+    ds = CocoDataset(str(p), classes=('person',), test_mode=True)
+    m = CocoMetric(ds, metrics='proposal_fast')
+    # one exact proposal + one miss: AR = mean over IoU grid of 1/2
+    m.process_result(1, np.asarray([[0., 0., 10., 10.],
+                                    [80., 80., 99., 99.]]),
+                     np.asarray([0.9, 0.8]), np.asarray([0, 0]))
+    out = m.compute_metrics()
+    assert out['AR@100'] == 0.5
+    assert out['AR@1000'] == 0.5
