@@ -14,7 +14,8 @@ __all__ = [
     'LvisMAPEvaluator', 'LVISMetric', 'DumpDetResults',
     'CrowdHumanMetric', 'PanopticMetric', 'OpenImagesMetric',
 ]
-from .recall import eval_recalls, occluded_separated_recall  # noqa: F401,E402
+from .recall import (CocoOccludedSeparatedMetric, eval_recalls,  # noqa: F401,E402
+                     occluded_separated_recall)
 
 
 def get_classes(dataset: str):

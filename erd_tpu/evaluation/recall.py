@@ -92,3 +92,37 @@ def occluded_separated_recall(detections, gt_ann, score_thr=0.3,
                 break
     total = max(len(gt_ann), 1)
     return 100.0 * hits / total, hits
+
+
+class CocoOccludedSeparatedMetric:
+    """Metric-shaped wrapper over occluded_separated_recall
+    (coco_occluded_metric.py CocoOccludedSeparatedMetric): accumulate
+    per-image mask detections, then report occluded/separated recall
+    alongside whatever a base CocoMetric computed. The gt lists are
+    loaded from LOCAL pickle files of (img_id, class_name, bitmap)
+    entries — the reference downloads them from a URL (no egress here).
+    """
+
+    def __init__(self, occluded_ann: str, separated_ann: str,
+                 score_thr: float = 0.3, iou_thr: float = 0.75):
+        import pickle
+        with open(occluded_ann, 'rb') as f:
+            self.occluded_ann = pickle.load(f)
+        with open(separated_ann, 'rb') as f:
+            self.separated_ann = pickle.load(f)
+        self.score_thr = score_thr
+        self.iou_thr = iou_thr
+        self._dets: dict = {}
+
+    def process_result(self, img_id, scores, label_names, bitmaps):
+        rows = sorted(zip([float(s) for s in scores], label_names,
+                          bitmaps), key=lambda r: -r[0])
+        self._dets[img_id] = rows
+
+    def compute_metrics(self):
+        occ, occ_hits = occluded_separated_recall(
+            self._dets, self.occluded_ann, self.score_thr, self.iou_thr)
+        sep, sep_hits = occluded_separated_recall(
+            self._dets, self.separated_ann, self.score_thr, self.iou_thr)
+        return {'occluded_recall': occ, 'separated_recall': sep,
+                'occluded_hits': occ_hits, 'separated_hits': sep_hits}

@@ -104,3 +104,20 @@ def test_coco_metric_proposal_fast(tmp_path):
     out = m.compute_metrics()
     assert out['AR@100'] == 0.5
     assert out['AR@1000'] == 0.5
+
+
+def test_coco_occluded_separated_metric_class(tmp_path):
+    import pickle
+    from erd_tpu.evaluation import CocoOccludedSeparatedMetric
+    m = np.zeros((8, 8), bool)
+    m[:4, :4] = True
+    for name, ann in (('occ.pkl', [(1, 'cat', m)]),
+                      ('sep.pkl', [(1, 'cat', m), (2, 'cat', m)])):
+        with open(tmp_path / name, 'wb') as f:
+            pickle.dump(ann, f)
+    metric = CocoOccludedSeparatedMetric(str(tmp_path / 'occ.pkl'),
+                                         str(tmp_path / 'sep.pkl'))
+    metric.process_result(1, [0.9], ['cat'], [m])
+    out = metric.compute_metrics()
+    assert out['occluded_recall'] == 100.0
+    assert out['separated_recall'] == 50.0
