@@ -9,4 +9,6 @@ model = dict(type='CornerNet', num_classes=80,
                            score_thr=0.05, max_per_img=100,
                            nms_iou_threshold=0.5))
 # reference: Adam lr 5e-4, 210 epochs, step 180
+train_cfg = dict(epochs=210, val_interval=1)
 optim_wrapper = dict(optimizer=dict(type='Adam', lr=0.0005))
+optim = dict(milestones_epochs=(180,), gamma=0.1, weight_decay=0.0)

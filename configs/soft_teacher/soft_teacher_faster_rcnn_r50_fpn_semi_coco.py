@@ -12,5 +12,9 @@ model = dict(type='SoftTeacher', num_classes=80, depth=50,
                  reg_pseudo_thr=0.02, jitter_times=10,
                  jitter_scale=0.06, unsup_weight=4.0),
              test_cfg=dict(score_thr=0.05, max_per_img=100))
+# reference: SGD 0.01, 180k iters constant LR (-> 12 epochs here)
+train_cfg = dict(epochs=12, val_interval=1)
+optim = dict(lr=0.01, momentum=0.9, weight_decay=1e-4,
+             milestones_epochs=(), warmup_iters=500)
 # unsupervised split rides a second dataloader with photometric-only
 # strong augmentation (weak/strong views share geometry)

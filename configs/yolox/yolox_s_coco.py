@@ -24,7 +24,17 @@ train_dataloader = dict(pipeline=dict(
 val_dataloader = dict(pipeline=dict(scale=(640, 640)))
 test_dataloader = val_dataloader
 train_cfg = dict(epochs=300)
+# reference: SGD 0.01 (per 8xb8), wd 5e-4, QuadraticWarmup 5 epochs,
+# CosineAnnealing 5->285 to lr*0.05, flat for the last 15
+optim = dict(lr=0.01, momentum=0.9, weight_decay=5e-4,
+             schedule='cosine', quadratic_warmup=True, warmup_epochs=5,
+             cosine_begin_epoch=5, cosine_end_epoch=285,
+             min_lr_ratio=0.05)
+auto_scale_lr = dict(enable=True, base_batch_size=64)
 custom_hooks = [
-    dict(type='PipelineSwitchHook', switch_epoch=285,
+    # strong augs off + raw-box L1 loss on for the last 15 epochs
+    # (reference yolox_mode_switch_hook.py); the hook re-jits the
+    # compiled train step so the L1 flag actually takes effect
+    dict(type='YOLOXModeSwitchHook', max_epochs=300, num_last_epochs=15,
          pipeline=dict(scale=(640, 640), flip_prob=0.5)),
 ]

@@ -395,7 +395,9 @@ def build_loader(dataset, loader_cfg: Config, training=True,
         num_workers=loader_cfg.get('num_workers', 8),
         seed=loader_cfg.get('seed', seed),
         drop_last=loader_cfg.get('drop_last', training),
-        shuffle=loader_cfg.get('shuffle', training)))
+        shuffle=loader_cfg.get('shuffle', training),
+        sampler=loader_cfg.get('sampler', 'default'),
+        num_sample_class=loader_cfg.get('num_sample_class', 1)))
 
 
 def build_metric(dataset, evaluator_cfg: Config) -> CocoMetric:
@@ -405,30 +407,60 @@ def build_metric(dataset, evaluator_cfg: Config) -> CocoMetric:
                       metrics=evaluator_cfg.get('metric', ('bbox',)))
 
 
+def _normalized_optim(cfg: Config) -> dict:
+    """Merge the repo-native ``optim`` section with the reference-style
+    ``optim_wrapper`` overlay (optimizer type/lr, clip_grad.max_norm,
+    paramwise_cfg.backbone_lr_mult) into one flat dict, so configs written
+    against either schema drive the same Trainer."""
+    optim = dict(cfg.get('optim', {}))
+    ow = cfg.get('optim_wrapper', {})
+    if ow:
+        inner = ow.get('optimizer', {})
+        for k in ('type', 'lr', 'momentum', 'weight_decay'):
+            if k in inner:
+                optim[k] = inner[k]
+        cg = ow.get('clip_grad')
+        if cg:
+            optim['grad_clip'] = cg.get('max_norm')
+        pw = ow.get('paramwise_cfg', {})
+        if 'backbone_lr_mult' in pw:
+            optim['backbone_lr_mult'] = pw['backbone_lr_mult']
+    return optim
+
+
 def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
                   teacher_variables=None, mesh=None,
                   val_fn=None) -> Trainer:
-    optim = cfg.optim
+    optim = _normalized_optim(cfg)
+    train_cfg = cfg.get('train_cfg', {})
     scale = cfg.get('auto_scale_lr', {})
     base_batch = scale.get('base_batch_size', 16) if \
         scale.get('enable', True) else train_loader.cfg.batch_size
     tc = TrainerConfig(
-        epochs=cfg.train_cfg.get('epochs', 12),
+        epochs=train_cfg.get('epochs', 12),
         base_lr=optim.get('lr', 0.01),
         momentum=optim.get('momentum', 0.9),
         weight_decay=optim.get('weight_decay', 1e-4),
         warmup_iters=optim.get('warmup_iters', 500),
+        warmup_epochs=optim.get('warmup_epochs', 0),
         warmup_factor=optim.get('warmup_factor', 0.001),
         milestones_epochs=tuple(optim.get('milestones_epochs', (8, 11))),
         gamma=optim.get('gamma', 0.1),
         frozen_stages=cfg.model.get('frozen_stages', 1),
+        schedule=optim.get('schedule', 'multistep'),
+        min_lr_ratio=optim.get('min_lr_ratio', 0.05),
+        cosine_begin_epoch=optim.get('cosine_begin_epoch', 0),
+        cosine_end_epoch=optim.get('cosine_end_epoch', 0),
+        quadratic_warmup=optim.get('quadratic_warmup', False),
+        optimizer=optim.get('type', 'SGD'),
+        backbone_lr_mult=optim.get('backbone_lr_mult', 1.0),
         auto_scale_base_batch=base_batch,
         grad_clip=optim.get('grad_clip'),
         log_interval=cfg.get('log_interval', 50),
         ckpt_dir=os.path.join(cfg.get('work_dir', 'work_dirs'),
                               cfg.get('experiment', 'exp')),
         ckpt_interval_epochs=cfg.get('ckpt_interval_epochs', 1),
-        val_interval=cfg.train_cfg.get('val_interval', 1))
+        val_interval=train_cfg.get('val_interval', 1))
     trainer = Trainer(detector, train_loader, tc,
                       teacher_variables=teacher_variables, mesh=mesh,
                       val_fn=val_fn)
@@ -440,19 +472,31 @@ def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
 def build_hook(spec, train_loader):
     """Config dict -> engine hook (custom_hooks analogue)."""
     from ..engine.hooks import (MemoryReportHook, NumClassCheckHook,
-                                PipelineSwitchHook, SetEpochInfoHook)
+                                PipelineSwitchHook, SetEpochInfoHook,
+                                YOLOXModeSwitchHook)
+
+    def _weak_pipeline(pipe):
+        return DetPipeline(
+            scale=tuple(pipe.get('scale', train_loader.pipeline.scale)),
+            flip_prob=pipe.get('flip_prob', 0.5),
+            max_gt=pipe.get('max_gt', train_loader.pipeline.max_gt),
+            training=True)
+
     spec = dict(spec)
     kind = spec.pop('type')
     if kind == 'PipelineSwitchHook':
         # e.g. YOLOX: strong augs off for the last epochs
         # (reference pipeline_switch_hook.py via num_last_epochs)
-        pipe = dict(spec.pop('pipeline', {}))
-        new_pipeline = DetPipeline(
-            scale=tuple(pipe.get('scale', train_loader.pipeline.scale)),
-            flip_prob=pipe.get('flip_prob', 0.5),
-            max_gt=pipe.get('max_gt', train_loader.pipeline.max_gt),
-            training=True)
+        new_pipeline = _weak_pipeline(dict(spec.pop('pipeline', {})))
         return PipelineSwitchHook(spec['switch_epoch'], new_pipeline)
+    if kind == 'YOLOXModeSwitchHook':
+        # strong augs off AND raw-box L1 on for the last epochs
+        # (reference yolox_mode_switch_hook.py); re-jits the train step
+        pipe = spec.pop('pipeline', None)
+        return YOLOXModeSwitchHook(
+            max_epochs=spec['max_epochs'],
+            num_last_epochs=spec.get('num_last_epochs', 15),
+            new_pipeline=_weak_pipeline(dict(pipe)) if pipe else None)
     if kind == 'SetEpochInfoHook':
         return SetEpochInfoHook()
     if kind == 'NumClassCheckHook':

@@ -38,6 +38,11 @@ class LoaderConfig:
     prefetch: int = 2
     drop_last: bool = True
     shuffle: bool = True
+    # 'default' | 'class_aware' (reference samplers/class_aware_sampler.py
+    # — LVIS long-tail recipe: round-robin over categories, then a random
+    # image containing that category)
+    sampler: str = 'default'
+    num_sample_class: int = 1
 
 
 class DetDataLoader:
@@ -52,12 +57,55 @@ class DetDataLoader:
         for i, r in enumerate(dataset.records):
             self.groups[0 if r.width >= r.height else 1].append(i)
 
+    def _class_aware_indices(self, rs) -> np.ndarray:
+        """ClassAwareSampler order: shuffle the category list, take
+        ``num_sample_class`` images per category per round, cycling both
+        category and per-category image iterators, until one epoch's worth
+        of indices is drawn."""
+        cat_to_imgs = {}
+        for i, r in enumerate(self.dataset.records):
+            for lab in np.unique(np.asarray(r.labels)):
+                cat_to_imgs.setdefault(int(lab), []).append(i)
+        cats = sorted(cat_to_imgs)
+        if not cats:
+            return np.arange(len(self.dataset.records))
+        per_cat = {c: rs.permutation(v).tolist()
+                   for c, v in cat_to_imgs.items()}
+        cursors = {c: 0 for c in cats}
+        out, n = [], len(self.dataset.records)
+        cat_order = rs.permutation(cats).tolist()
+        ci = 0
+        while len(out) < n:
+            if ci == len(cat_order):
+                cat_order = rs.permutation(cats).tolist()
+                ci = 0
+            c = cat_order[ci]
+            ci += 1
+            for _ in range(self.cfg.num_sample_class):
+                imgs = per_cat[c]
+                if cursors[c] >= len(imgs):
+                    rs.shuffle(imgs)
+                    cursors[c] = 0
+                out.append(imgs[cursors[c]])
+                cursors[c] += 1
+        return np.asarray(out[:n])
+
     def _batches_for_epoch(self, epoch: int):
         rs = np.random.RandomState(self.cfg.seed + epoch)
+        if self.cfg.sampler == 'class_aware':
+            order = self._class_aware_indices(rs)
+            # keep orientation-homogeneous batches: route the class-aware
+            # order through the same bucket split, preserving draw order
+            groups = {0: [], 1: []}
+            for i in order.tolist():
+                r = self.dataset.records[i]
+                groups[0 if r.width >= r.height else 1].append(i)
+        else:
+            groups = self.groups
         batches = []
-        for g, idxs in self.groups.items():
+        for g, idxs in groups.items():
             idxs = np.asarray(idxs)
-            if self.cfg.shuffle:
+            if self.cfg.shuffle and self.cfg.sampler != 'class_aware':
                 rs.shuffle(idxs)
             nb = len(idxs) // self.cfg.batch_size
             for b in range(nb):
@@ -155,3 +203,70 @@ class DetDataLoader:
                 yield item
         finally:
             stop.set()
+
+
+class SemiDataLoader:
+    """Labeled + unlabeled multi-source batching for semi-supervised
+    training (reference samplers/multi_source_sampler.py +
+    soft_teacher.py data flow).
+
+    Each step yields ``{'sup': <labeled batch>, 'unsup_weak': ...,
+    'unsup_strong': ...}`` where the weak and strong unlabeled views
+    SHARE geometry (same resize/flip — built once through the weak
+    pipeline) and differ only photometrically via ``strong_photometric``
+    applied to the weak canvas. This matches the SoftTeacher requirement
+    that pseudo boxes from the weak view align pixel-for-pixel with the
+    strong view.
+    """
+
+    def __init__(self, sup_loader: DetDataLoader,
+                 unsup_dataset, unsup_pipeline,
+                 strong_photometric=None, unsup_batch_size: int = None,
+                 seed: int = 0):
+        self.sup = sup_loader
+        self.unsup_dataset = unsup_dataset
+        self.unsup_pipeline = unsup_pipeline
+        self.strong_photometric = strong_photometric
+        self.unsup_batch_size = unsup_batch_size or \
+            sup_loader.cfg.batch_size
+        self.seed = seed
+        self.cfg = sup_loader.cfg
+        # the loader pipeline attribute lets PipelineSwitchHook swap it
+        self.pipeline = sup_loader.pipeline
+
+    def steps_per_epoch(self, epoch: int = 0):
+        return self.sup.steps_per_epoch(epoch)
+
+    def _unsup_batch(self, idxs, epoch):
+        imgs, strong_imgs, gts, metas = [], [], [], []
+        for i in idxs.tolist():
+            rs = np.random.RandomState(
+                (self.seed * 999983 + epoch * 6007 + int(i)) % (2**31 - 1))
+            canvas, gt, meta = self.unsup_pipeline(self.unsup_dataset[i],
+                                                   rs)
+            imgs.append(canvas)
+            if self.strong_photometric is not None:
+                strong_imgs.append(self.strong_photometric(canvas, rs))
+            else:
+                strong_imgs.append(canvas)
+            gts.append(gt)
+            metas.append(meta)
+        weak = dict(images=np.stack(imgs), gt=_stack_tree(gts),
+                    meta=_stack_tree(metas))
+        strong = dict(weak, images=np.stack(strong_imgs))
+        return weak, strong
+
+    def epoch(self, epoch: int):
+        rs = np.random.RandomState(self.seed + 31 * epoch)
+        n_un = len(self.unsup_dataset.records)
+        order = rs.permutation(n_un)
+        cursor = 0
+        for sup_batch in self.sup.epoch(epoch):
+            if cursor + self.unsup_batch_size > n_un:
+                order = rs.permutation(n_un)
+                cursor = 0
+            idxs = order[cursor:cursor + self.unsup_batch_size]
+            cursor += self.unsup_batch_size
+            weak, strong = self._unsup_batch(idxs, epoch)
+            yield {'sup': sup_batch, 'unsup_weak': weak,
+                   'unsup_strong': strong}

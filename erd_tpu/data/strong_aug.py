@@ -183,6 +183,78 @@ class MixUp:
 
 
 # ---------------------------------------------------------------------------
+# CachedMosaic / CachedMixUp (transforms.py:3124, :3359 — RTMDet recipe)
+# ---------------------------------------------------------------------------
+@dataclass
+class CachedMosaic(Mosaic):
+    """Mosaic whose 3 partners come from a rolling cache of recent samples
+    instead of fresh dataset reads (reference CachedMosaic: append to
+    cache, random-pop above ``max_cached_images``, skip while the cache
+    holds <= 4). Each transform instance owns its cache; access is locked
+    because the loader may drive the pipeline from several threads."""
+    max_cached_images: int = 40
+    random_pop: bool = True
+
+    def __post_init__(self):
+        import threading
+        assert self.max_cached_images >= 4
+        self._cache = []
+        self._lock = threading.Lock()
+
+    def __call__(self, s: Sample, rng: np.random.RandomState,
+                 sampler=None):
+        with self._lock:
+            self._cache.append(s)
+            if len(self._cache) > self.max_cached_images:
+                idx = rng.randint(0, len(self._cache)) \
+                    if self.random_pop else 0
+                self._cache.pop(idx)
+            if len(self._cache) <= 4:
+                return s
+            cache = list(self._cache)
+
+        def cache_sampler(r):
+            return cache[r.randint(0, len(cache))]
+
+        return Mosaic.__call__(self, s, rng, cache_sampler)
+
+
+@dataclass
+class CachedMixUp(MixUp):
+    """MixUp partner drawn from a rolling cache (reference CachedMixUp:
+    skip while the cache holds <= 1; up to 10 retries for a non-empty
+    partner)."""
+    max_cached_images: int = 20
+    random_pop: bool = True
+    prob: float = 1.0
+
+    def __post_init__(self):
+        import threading
+        assert self.max_cached_images >= 2
+        self._cache = []
+        self._lock = threading.Lock()
+
+    def __call__(self, s: Sample, rng: np.random.RandomState,
+                 sampler=None):
+        with self._lock:
+            self._cache.append(s)
+            if len(self._cache) > self.max_cached_images:
+                idx = rng.randint(0, len(self._cache)) \
+                    if self.random_pop else 0
+                self._cache.pop(idx)
+            if len(self._cache) <= 1:
+                return s
+            cache = list(self._cache)
+        if rng.uniform(0, 1) > self.prob:
+            return s
+
+        def cache_sampler(r):
+            return cache[r.randint(0, len(cache))]
+
+        return MixUp.__call__(self, s, rng, cache_sampler)
+
+
+# ---------------------------------------------------------------------------
 # RandomAffine (transforms.py:2545)
 # ---------------------------------------------------------------------------
 @dataclass

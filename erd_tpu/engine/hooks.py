@@ -24,6 +24,10 @@ class Hook:
     def before_train(self, trainer):
         pass
 
+    def before_epoch(self, trainer, epoch):
+        """Called before the epoch with 0-based index ``epoch`` runs."""
+        pass
+
     def after_iter(self, trainer, step, losses: Dict[str, float]):
         pass
 
@@ -114,11 +118,14 @@ class PipelineSwitchHook(Hook):
         self.new_pipeline = new_pipeline
         self._done = False
 
-    def after_epoch(self, trainer, epoch):
-        if not self._done and epoch + 1 >= self.switch_epoch:
+    def before_epoch(self, trainer, epoch):
+        # reference fires in before_train_epoch when runner.epoch ==
+        # switch_epoch, so the new pipeline is active FOR epoch index
+        # switch_epoch onward (>= keeps resume-past-the-boundary correct)
+        if not self._done and epoch >= self.switch_epoch:
             trainer.loader.pipeline = self.new_pipeline
             self._done = True
-            log.info(f'switched train pipeline at epoch {epoch + 1}')
+            log.info(f'switched train pipeline before epoch {epoch + 1}')
 
 
 class YOLOXModeSwitchHook(Hook):
@@ -133,17 +140,29 @@ class YOLOXModeSwitchHook(Hook):
         self.new_pipeline = new_pipeline
         self._done = False
 
-    def after_epoch(self, trainer, epoch):
+    def before_epoch(self, trainer, epoch):
         import jax
+
+        # reference yolox_mode_switch_hook.py fires in before_train_epoch
+        # when epoch + 1 == max_epochs - num_last_epochs (0-based
+        # about-to-run epoch), i.e. starting one epoch BEFORE the "last
+        # num_last_epochs" window
         if self._done or epoch + 1 < self.switch_epoch:
             return
         if self.new_pipeline is not None:
             trainer.loader.pipeline = self.new_pipeline
         if hasattr(trainer.det, 'l1_loss_weight'):
             trainer.det.l1_loss_weight = 1.0
-            trainer.det.loss_jit = jax.jit(trainer.det.loss)
+            # the flag is read at TRACE time inside the compiled train
+            # step, so flipping the attribute alone is a no-op for the
+            # already-jitted step — rebuild it to force a fresh trace
+            if hasattr(trainer, '_step_impl'):
+                trainer._train_step = jax.jit(
+                    trainer._step_impl, donate_argnums=(0, 1))
+            if hasattr(trainer.det, 'loss_jit'):
+                trainer.det.loss_jit = jax.jit(trainer.det.loss)
         self._done = True
-        log.info(f'YOLOX mode switch at epoch {epoch + 1}: '
+        log.info(f'YOLOX mode switch before epoch {epoch + 1}: '
                  'strong augs off, L1 loss on')
 
 

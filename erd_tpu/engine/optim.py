@@ -42,10 +42,42 @@ def _freeze_label_fn(frozen_stages: int) -> Callable:
     return label
 
 
+def route_params(tx, frozen_stages: int = -1,
+                 backbone_lr_mult: float = 1.0):
+    """Label-route the update: frozen backbone prefixes get zero updates
+    and (optionally) the rest of the backbone gets a scaled LR — the
+    paramwise_cfg ``lr_mult`` analogue (e.g. YOLOF backbone 1/3,
+    Mask2Former backbone 0.1)."""
+    if frozen_stages < 0 and backbone_lr_mult == 1.0:
+        return tx
+    frozen_prefixes = resnet_frozen_paths(frozen_stages) \
+        if frozen_stages >= 0 else ()
+
+    def label(params):
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            if len(path) >= 2 and path[0] == 'backbone' and any(
+                    path[1].startswith(p) for p in frozen_prefixes):
+                return 'frozen'
+            if path and path[0] == 'backbone' and backbone_lr_mult != 1.0:
+                return 'backbone'
+            return 'train'
+
+        return walk(params, ())
+
+    return optax.multi_transform(
+        {'train': tx,
+         'backbone': optax.chain(tx, optax.scale(backbone_lr_mult))
+         if backbone_lr_mult != 1.0 else tx,
+         'frozen': optax.set_to_zero()}, label)
+
+
 def sgd_optimizer(schedule, momentum: float = 0.9,
                   weight_decay: float = 1e-4, frozen_stages: int = 1,
                   grad_clip: Optional[float] = None,
-                  accumulate_steps: int = 1):
+                  accumulate_steps: int = 1,
+                  backbone_lr_mult: float = 1.0):
     """torch-order SGD: g += wd*w; buf = mu*buf + g; w -= lr*buf.
 
     ``accumulate_steps > 1`` wraps the chain in optax.MultiSteps — the
@@ -60,11 +92,8 @@ def sgd_optimizer(schedule, momentum: float = 0.9,
         optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(schedule),
     ]
-    tx = optax.chain(*chain)
-    if frozen_stages >= 0:
-        tx = optax.multi_transform(
-            {'train': tx, 'frozen': optax.set_to_zero()},
-            _freeze_label_fn(frozen_stages))
+    tx = route_params(optax.chain(*chain), frozen_stages,
+                      backbone_lr_mult)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
@@ -166,31 +195,5 @@ def adamw_optimizer(schedule, betas=(0.9, 0.999), weight_decay: float = 1e-4,
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(schedule),
     ]
-    tx = optax.chain(*chain)
-    labels_needed = frozen_stages >= 0 or backbone_lr_mult != 1.0
-
-    if labels_needed:
-        frozen_prefixes = resnet_frozen_paths(max(frozen_stages, -1)) \
-            if frozen_stages >= 0 else ()
-
-        def label(params):
-            def walk(tree, path):
-                if isinstance(tree, dict):
-                    return {k: walk(v, path + (k,)) for k, v in
-                            tree.items()}
-                if len(path) >= 2 and path[0] == 'backbone' and any(
-                        path[1].startswith(p) for p in frozen_prefixes):
-                    return 'frozen'
-                if path and path[0] == 'backbone' and \
-                        backbone_lr_mult != 1.0:
-                    return 'backbone'
-                return 'train'
-
-            return walk(params, ())
-
-        tx = optax.multi_transform(
-            {'train': tx,
-             'backbone': optax.chain(tx, optax.scale(backbone_lr_mult))
-             if backbone_lr_mult != 1.0 else tx,
-             'frozen': optax.set_to_zero()}, label)
-    return tx
+    return route_params(optax.chain(*chain), frozen_stages,
+                        backbone_lr_mult)

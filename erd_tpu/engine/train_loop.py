@@ -36,10 +36,18 @@ class TrainerConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     warmup_iters: int = 500
+    warmup_epochs: int = 0  # >0 overrides warmup_iters (epoch-based)
     warmup_factor: float = 0.001
     milestones_epochs: tuple = (8, 11)
     gamma: float = 0.1
+    schedule: str = 'multistep'  # 'multistep' | 'cosine'
+    min_lr_ratio: float = 0.05
+    cosine_begin_epoch: int = 0  # 0 -> right after warmup
+    cosine_end_epoch: int = 0    # 0 -> last epoch
+    quadratic_warmup: bool = False
     frozen_stages: int = 1
+    optimizer: str = 'SGD'  # 'SGD' | 'AdamW' | 'Adam'
+    backbone_lr_mult: float = 1.0
     auto_scale_base_batch: int = 16
     grad_clip: Optional[float] = None
     log_interval: int = 50
@@ -67,13 +75,38 @@ class Trainer:
         self.steps_per_epoch = train_loader.steps_per_epoch(0)
         lr = auto_scale_lr(cfg.base_lr, self.global_batch_size,
                            cfg.auto_scale_base_batch)
-        milestones = [m * self.steps_per_epoch
-                      for m in cfg.milestones_epochs]
-        self.schedule = warmup_multistep(
-            lr, cfg.warmup_iters, cfg.warmup_factor, milestones, cfg.gamma)
-        self.tx = sgd_optimizer(self.schedule, cfg.momentum,
-                                cfg.weight_decay, cfg.frozen_stages,
-                                cfg.grad_clip)
+        warmup_iters = cfg.warmup_epochs * self.steps_per_epoch \
+            if cfg.warmup_epochs else cfg.warmup_iters
+        if cfg.schedule == 'cosine':
+            from .schedules import warmup_cosine
+            begin = cfg.cosine_begin_epoch * self.steps_per_epoch \
+                if cfg.cosine_begin_epoch else warmup_iters
+            end = (cfg.cosine_end_epoch or cfg.epochs) * \
+                self.steps_per_epoch
+            self.schedule = warmup_cosine(
+                lr, warmup_iters, cfg.warmup_factor, begin, end,
+                cfg.min_lr_ratio, cfg.quadratic_warmup)
+        else:
+            milestones = [m * self.steps_per_epoch
+                          for m in cfg.milestones_epochs]
+            self.schedule = warmup_multistep(
+                lr, warmup_iters, cfg.warmup_factor, milestones,
+                cfg.gamma)
+        opt = cfg.optimizer.lower()
+        if opt in ('adamw', 'adam'):
+            from .optim import adamw_optimizer
+            self.tx = adamw_optimizer(
+                self.schedule,
+                # plain Adam (CornerNet recipe) = AdamW with zero decay
+                weight_decay=cfg.weight_decay if opt == 'adamw' else 0.0,
+                frozen_stages=cfg.frozen_stages,
+                grad_clip=cfg.grad_clip,
+                backbone_lr_mult=cfg.backbone_lr_mult)
+        else:
+            self.tx = sgd_optimizer(self.schedule, cfg.momentum,
+                                    cfg.weight_decay, cfg.frozen_stages,
+                                    cfg.grad_clip,
+                                    backbone_lr_mult=cfg.backbone_lr_mult)
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
@@ -138,6 +171,8 @@ class Trainer:
 
         for epoch in range(start_epoch, self.cfg.epochs):
             log.info(f'epoch {epoch + 1}/{self.cfg.epochs}')
+            for h in self.hooks:
+                h.before_epoch(self, epoch)
             for batch in self.loader.epoch(epoch):
                 batch = shard_batch(batch, self.mesh)
                 params, opt_state, losses, consts = self._train_step(
@@ -164,6 +199,108 @@ class Trainer:
                     if isinstance(v, float)))
 
         return {'params': params, **consts}
+
+
+class SemiTrainer(Trainer):
+    """Semi-supervised trainer: EMA mean-teacher updated inside the jitted
+    step (reference mean_teacher_hook.py:13 + semi_base.py data flow).
+
+    The loader must be a ``data.loader.SemiDataLoader`` yielding
+    ``{'sup', 'unsup_weak', 'unsup_strong'}`` dicts; the detector must
+    expose ``semi_loss(variables, sup, weak, strong, teacher_variables=)``
+    (e.g. SoftTeacherDetector). Teacher params start as a copy of the
+    student and follow ``ema = m * ema + (1 - m) * student`` each step —
+    the whole grad + SGD + EMA chain is one compiled program, so the
+    teacher never leaves the device.
+    """
+
+    def __init__(self, detector, train_loader, cfg: TrainerConfig,
+                 ema_momentum: float = 0.999, mesh=None,
+                 hooks: List[Hook] = None, val_fn=None):
+        super().__init__(detector, train_loader, cfg, mesh=mesh,
+                         hooks=hooks, val_fn=val_fn)
+        self.ema_momentum = ema_momentum
+        self._train_step = jax.jit(self._semi_step_impl,
+                                   donate_argnums=(0, 1, 4))
+
+    def _semi_step_impl(self, params, opt_state, consts, batch,
+                        teacher_params):
+        def loss_fn(p):
+            variables = {'params': p, **consts}
+            t_vars = {'params': teacher_params, **consts}
+            losses = self.det.semi_loss(
+                variables, batch['sup'], batch['unsup_weak'],
+                batch['unsup_strong'], teacher_variables=t_vars)
+            return sum(jax.tree.leaves(losses)), losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        m = self.ema_momentum
+        teacher_params = jax.tree.map(
+            lambda e, p: e * m + p.astype(e.dtype) * (1 - m),
+            teacher_params, params)
+        return params, opt_state, losses, teacher_params
+
+    def fit(self, variables, start_epoch=0, resume=False):
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        params = jax.tree.map(jnp.copy, variables['params'])
+        params = replicate(params, self.mesh)
+        consts = replicate(consts, self.mesh)
+        opt_state = jax.jit(self.tx.init)(params)
+        opt_state = replicate(opt_state, self.mesh)
+        teacher_params = jax.tree.map(jnp.copy, params)
+
+        step = start_epoch * self.steps_per_epoch
+        if resume and self.cfg.ckpt_dir:
+            path = latest_checkpoint(self.cfg.ckpt_dir)
+            if path:
+                state = load_checkpoint(path, dict(
+                    params=params, consts=consts, opt_state=opt_state,
+                    teacher_params=teacher_params, step=np.asarray(0)))
+                params, opt_state = state['params'], state['opt_state']
+                consts = state.get('consts', consts)
+                teacher_params = state.get('teacher_params',
+                                           teacher_params)
+                step = int(state['step'])
+                start_epoch = step // self.steps_per_epoch
+                log.info(f'resumed from {path} at step {step}')
+
+        for h in self.hooks:
+            h.before_train(self)
+
+        for epoch in range(start_epoch, self.cfg.epochs):
+            log.info(f'epoch {epoch + 1}/{self.cfg.epochs}')
+            for h in self.hooks:
+                h.before_epoch(self, epoch)
+            for batch in self.loader.epoch(epoch):
+                batch = shard_batch(batch, self.mesh)
+                params, opt_state, losses, teacher_params = \
+                    self._train_step(params, opt_state, consts, batch,
+                                     teacher_params)
+                self.latest_params = params
+                self.ema_params = teacher_params
+                host_losses = {k: float(v) for k, v in losses.items()}
+                for h in self.hooks:
+                    h.after_iter(self, step, host_losses)
+                step += 1
+            for h in self.hooks:
+                h.after_epoch(self, epoch)
+            if self.cfg.ckpt_dir and \
+                    (epoch + 1) % self.cfg.ckpt_interval_epochs == 0:
+                save_checkpoint(self.cfg.ckpt_dir, step, dict(
+                    params=params, consts=consts, opt_state=opt_state,
+                    teacher_params=teacher_params, step=np.asarray(step)))
+            if self.val_fn and (epoch + 1) % self.cfg.val_interval == 0:
+                # semi-supervised protocol validates the TEACHER
+                metrics = self.val_fn({'params': teacher_params, **consts})
+                log.info(f'epoch {epoch + 1} val(teacher): ' + ' '.join(
+                    f'{k} {v:.4f}' for k, v in metrics.items()
+                    if isinstance(v, float)))
+
+        return {'student': {'params': params, **consts},
+                'teacher': {'params': teacher_params, **consts}}
 
 
 def run_evaluation(detector, variables, loader, metric, max_batches=None,

@@ -76,10 +76,7 @@ class CocoMetric:
             res = DetectionResult(img_id=img_id, bboxes=bboxes[i][m],
                                   scores=scores[i][m], labels=labels[i][m],
                                   masks=rles)
-            for ev in self.evaluators.values():
-                ev.process(res)
-            if self.outfile_prefix is not None:
-                self._collect_json(res)
+            self._record(res)
 
     def process_result(self, img_id, bboxes, scores, labels, masks=None):
         """Accumulate one image's unpadded results (offline re-eval path,
@@ -88,6 +85,13 @@ class CocoMetric:
             img_id=int(img_id), bboxes=np.asarray(bboxes, np.float32),
             scores=np.asarray(scores, np.float32),
             labels=np.asarray(labels, np.int64), masks=masks)
+        self._record(res)
+
+    def _record(self, res: DetectionResult):
+        """Shared accumulation for both the padded-batch path (standard
+        evaluation, train_loop.run_evaluation) and the per-image offline
+        path — keeps proposal_fast AR populated in BOTH, matching the
+        reference where CocoMetric.process feeds every metric mode."""
         for ev in self.evaluators.values():
             ev.process(res)
         if 'proposal_fast' in self.metrics:

@@ -297,32 +297,8 @@ class RTMDetDetector:
             mutable=['batch_stats'])
         cls, reg = self._flatten(cls_lvl, reg_lvl)
         boxes = self._decode(ctx, reg)
-        pts = jnp.asarray(ctx.points)
-        strides = jnp.asarray(ctx.strides)
-        gt = batch['gt']
-
-        def single(cls_i, boxes_i, gt_b, gt_l, gt_m):
-            probs = jax.nn.sigmoid(jax.lax.stop_gradient(cls_i))
-            pos, gt_idx, ious = dynamic_soft_label_assign(
-                pts, strides, jax.lax.stop_gradient(boxes_i), probs,
-                gt_b, gt_l, gt_m)
-            n_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
-            tgt_boxes = gt_b[gt_idx]
-            iou_t = jnp.where(pos, bbox_overlaps(
-                jax.lax.stop_gradient(boxes_i), tgt_boxes,
-                is_aligned=True), 0.0)
-            onehot = jax.nn.one_hot(jnp.where(pos, gt_l[gt_idx], 0),
-                                    self.num_classes)
-            soft = onehot * iou_t[:, None]
-            l_cls = quality_focal_loss_tensor_target(
-                cls_i, soft, avg_factor=n_pos)
-            lb = giou_loss(boxes_i, tgt_boxes, reduction='none')
-            l_box = 2.0 * (lb * pos).sum() / n_pos
-            return l_cls, l_box
-
-        l_cls, l_box = jax.vmap(single)(cls, boxes, gt.bboxes, gt.labels,
-                                        gt.mask)
-        losses = dict(loss_cls=l_cls.mean(), loss_bbox=l_box.mean())
+        losses = rtmdet_flat_loss(ctx, cls, boxes, batch['gt'],
+                                  self.num_classes)
         consts = {k: v for k, v in variables.items() if k != 'params'}
         consts['batch_stats'] = new_state['batch_stats']
         return losses, consts
@@ -359,3 +335,46 @@ class RTMDetDetector:
 
         return jax.vmap(single)(cls, boxes, batch['meta'].img_shape,
                                 batch['meta'].scale_factor)
+
+
+def rtmdet_flat_loss(ctx, cls, boxes, gt, num_classes):
+    """RTMDet loss over level-flattened cls logits (B, N, C) and DECODED
+    boxes (B, N, 4).
+
+    Mirrors rtmdet_head.py:151-288 loss_by_feat(+single): DynamicSoftLabel
+    assignment, QFL against onehot*assign_metric soft targets, GIoU x2
+    weighted per-positive by the assign metric; batch-global avg factors
+    (cls by sum of assign metrics, bbox by sum of positive metrics, both
+    clamped >= 1 — reduce_mean across devices ≡ the SPMD global-sum/
+    global-count protocol, see gfl_head.py).
+    """
+    pts = jnp.asarray(ctx.points)
+    strides = jnp.asarray(ctx.strides)
+
+    def single(cls_i, boxes_i, gt_b, gt_l, gt_m):
+        probs = jax.nn.sigmoid(jax.lax.stop_gradient(cls_i))
+        pos, gt_idx, ious = dynamic_soft_label_assign(
+            pts, strides, jax.lax.stop_gradient(boxes_i), probs,
+            gt_b, gt_l, gt_m)
+        tgt_boxes = gt_b[gt_idx]
+        # assign_metrics = IoU(pred, matched gt) at positives
+        # (dynamic_soft_label_assigner.py:182 matched_pred_ious)
+        iou_t = jnp.where(pos, bbox_overlaps(
+            jax.lax.stop_gradient(boxes_i), tgt_boxes,
+            is_aligned=True), 0.0)
+        onehot = jax.nn.one_hot(jnp.where(pos, gt_l[gt_idx], 0),
+                                num_classes)
+        soft = onehot * iou_t[:, None]
+        l_cls = quality_focal_loss_tensor_target(
+            cls_i, soft, reduction='sum')
+        # reference rtmdet_head.py:199-210: GIoU weighted per-positive
+        # by the assign metric
+        lb = giou_loss(boxes_i, tgt_boxes, reduction='none')
+        l_box = 2.0 * (lb * iou_t * pos).sum()
+        return l_cls, l_box, iou_t.sum(), (iou_t * pos).sum()
+
+    l_cls, l_box, cls_af, box_af = jax.vmap(single)(
+        cls, boxes, gt.bboxes, gt.labels, gt.mask)
+    return dict(
+        loss_cls=l_cls.sum() / jnp.maximum(cls_af.sum(), 1.0),
+        loss_bbox=l_box.sum() / jnp.maximum(box_af.sum(), 1.0))

@@ -181,60 +181,8 @@ class YOLOXDetector:
             cast_compute_params(variables, self.compute_dtype), self.preprocessor(images), train=True,
             mutable=['batch_stats'])
         preds = self._flatten(preds_lvl)
-        boxes, obj_p, cls_p = yolox_decode(ctx, preds)
-        pts = jnp.asarray(ctx.points)
-        strides = jnp.asarray(ctx.strides)
-        gt = batch['gt']
-
-        def single(pred_i, boxes_i, score_i, gt_b, gt_l, gt_m):
-            # assignment scores are cls_prob * objectness (yolox_head.py:582
-            # feeds sqrt(cls*obj); the sqrt lives inside sim_ota_assign)
-            res = sim_ota_assign(pts, strides,
-                                 jax.lax.stop_gradient(boxes_i),
-                                 jax.lax.stop_gradient(score_i),
-                                 gt_b, gt_l, gt_m)
-            pos = res.pos_mask
-            n_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
-            tgt_boxes = gt_b[res.gt_idx]
-            ious = bbox_overlaps(jax.lax.stop_gradient(boxes_i), tgt_boxes,
-                                 is_aligned=True)
-            # cls: BCE against onehot * iou at positives
-            onehot = jax.nn.one_hot(jnp.where(pos, res.labels, 0),
-                                    self.num_classes)
-            cls_t = onehot * jnp.where(pos, ious, 0.0)[:, None]
-            bce_cls = binary_cross_entropy_with_logits(
-                pred_i[:, 5:], cls_t).sum(-1)
-            l_cls = (bce_cls * pos).sum() / n_pos
-            # objectness: dense BCE
-            bce_obj = binary_cross_entropy_with_logits(
-                pred_i[:, 4], pos.astype(jnp.float32))
-            l_obj = bce_obj.sum() / n_pos
-            # box: IoU loss at positives
-            lb = iou_loss(boxes_i, tgt_boxes, mode='square',
-                          reduction='none')
-            l_box = 5.0 * (lb * pos).sum() / n_pos
-            # last-epochs L1 on the RAW parameterization (yolox_head.py
-            # use_l1, enabled by YOLOXModeSwitchHook): t_xy =
-            # (gt_center - grid_center)/stride, t_wh = log(gt_wh/stride)
-            l_l1 = jnp.asarray(0.0, jnp.float32)
-            if self.l1_loss_weight > 0:
-                gt_c = (tgt_boxes[:, :2] + tgt_boxes[:, 2:]) / 2
-                gt_wh = jnp.clip(tgt_boxes[:, 2:] - tgt_boxes[:, :2],
-                                 1e-3, None)
-                t_xy = (gt_c - pts) / strides[:, None]
-                t_wh = jnp.log(gt_wh / strides[:, None])
-                t = jnp.concatenate([t_xy, t_wh], axis=-1)
-                l1 = jnp.abs(pred_i[:, :4] - t).sum(-1)
-                l_l1 = self.l1_loss_weight * (l1 * pos).sum() / n_pos
-            return l_cls, l_obj, l_box, l_l1
-
-        l_cls, l_obj, l_box, l_l1 = jax.vmap(single)(
-            preds, boxes, cls_p * obj_p[..., None], gt.bboxes, gt.labels,
-            gt.mask)
-        losses = dict(loss_cls=l_cls.mean(), loss_obj=l_obj.mean(),
-                      loss_bbox=l_box.mean())
-        if self.l1_loss_weight > 0:
-            losses['loss_l1_bbox'] = l_l1.mean()
+        losses = yolox_flat_loss(ctx, preds, batch['gt'],
+                                 self.num_classes, self.l1_loss_weight)
         consts = {k: v for k, v in variables.items() if k != 'params'}
         consts['batch_stats'] = new_state['batch_stats']
         return losses, consts
@@ -271,3 +219,75 @@ class YOLOXDetector:
         return jax.vmap(single)(boxes, obj_p, cls_p,
                                 batch['meta'].img_shape,
                                 batch['meta'].scale_factor)
+
+
+def yolox_flat_loss(ctx: YOLOXContext, preds, gt, num_classes,
+                    l1_loss_weight=0.0):
+    """YOLOX loss over level-flattened raw head outputs (B, N, 5+C).
+
+    Mirrors yolox_head.py:399-517 loss_by_feat + _get_targets_single:
+    SimOTA assignment on sqrt(cls*obj) scores, BCE cls against
+    onehot*IoU at positives, dense BCE objectness, 'square' IoU box
+    loss x5, optional raw-parameterization L1 — every term summed over
+    the batch and divided by the batch-total positive count.
+    """
+    boxes, obj_p, cls_p = yolox_decode(ctx, preds)
+    pts = jnp.asarray(ctx.points)
+    strides = jnp.asarray(ctx.strides)
+
+    def single(pred_i, boxes_i, score_i, gt_b, gt_l, gt_m):
+        # assignment scores are cls_prob * objectness (yolox_head.py:582
+        # feeds sqrt(cls*obj); the sqrt lives inside sim_ota_assign)
+        res = sim_ota_assign(pts, strides,
+                             jax.lax.stop_gradient(boxes_i),
+                             jax.lax.stop_gradient(score_i),
+                             gt_b, gt_l, gt_m)
+        pos = res.pos_mask
+        tgt_boxes = gt_b[res.gt_idx]
+        ious = bbox_overlaps(jax.lax.stop_gradient(boxes_i), tgt_boxes,
+                             is_aligned=True)
+        # cls: BCE against onehot * iou at positives
+        onehot = jax.nn.one_hot(jnp.where(pos, res.labels, 0),
+                                num_classes)
+        cls_t = onehot * jnp.where(pos, ious, 0.0)[:, None]
+        bce_cls = binary_cross_entropy_with_logits(
+            pred_i[:, 5:], cls_t).sum(-1)
+        l_cls = (bce_cls * pos).sum()
+        # objectness: dense BCE
+        bce_obj = binary_cross_entropy_with_logits(
+            pred_i[:, 4], pos.astype(jnp.float32))
+        l_obj = bce_obj.sum()
+        # box: IoU loss at positives
+        lb = iou_loss(boxes_i, tgt_boxes, mode='square',
+                      reduction='none')
+        l_box = 5.0 * (lb * pos).sum()
+        # last-epochs L1 on the RAW parameterization (yolox_head.py
+        # use_l1, enabled by YOLOXModeSwitchHook): t_xy =
+        # (gt_center - grid_center)/stride, t_wh = log(gt_wh/stride)
+        l_l1 = jnp.asarray(0.0, jnp.float32)
+        if l1_loss_weight > 0:
+            gt_c = (tgt_boxes[:, :2] + tgt_boxes[:, 2:]) / 2
+            gt_wh = jnp.clip(tgt_boxes[:, 2:] - tgt_boxes[:, :2],
+                             1e-3, None)
+            t_xy = (gt_c - pts) / strides[:, None]
+            t_wh = jnp.log(gt_wh / strides[:, None])
+            t = jnp.concatenate([t_xy, t_wh], axis=-1)
+            l1 = jnp.abs(pred_i[:, :4] - t).sum(-1)
+            l_l1 = l1_loss_weight * (l1 * pos).sum()
+        return l_cls, l_obj, l_box, l_l1, pos.sum()
+
+    l_cls, l_obj, l_box, l_l1, n_pos = jax.vmap(single)(
+        preds, boxes, cls_p * obj_p[..., None], gt.bboxes, gt.labels,
+        gt.mask)
+    # reference yolox_head.py:475-494: every term is a SUM over the
+    # whole batch divided by the batch-TOTAL positive count
+    # (num_total_samples = max(reduce_mean(num_pos), 1); under SPMD
+    # the global-sum/global-count form is DDP-equivalent, see
+    # gfl_head.py) — NOT a per-image mean
+    denom = jnp.maximum(n_pos.sum().astype(jnp.float32), 1.0)
+    losses = dict(loss_cls=l_cls.sum() / denom,
+                  loss_obj=l_obj.sum() / denom,
+                  loss_bbox=l_box.sum() / denom)
+    if l1_loss_weight > 0:
+        losses['loss_l1_bbox'] = l_l1.sum() / denom
+    return losses

@@ -231,7 +231,12 @@ class DINOHeadNet(nn.Module):
 
         mask = None
         if dn_attn_mask is not None:
-            mask = dn_attn_mask[None, None]  # (1, 1, T, T)
+            # the mask is built for num_dn + num_queries slots, but the
+            # matching-query count is capped at the encoder token count
+            # (k = min(num_queries, n_tok)); the matching block is
+            # homogeneous, so the capped mask is the leading slice
+            t = query.shape[1]  # n_dn + k
+            mask = dn_attn_mask[:t, :t][None, None]  # (1, 1, T, T)
 
         cls_branch = nn.Dense(self.num_classes, name='fc_cls')
         r0 = nn.Dense(c, name='reg_fc0')

@@ -116,7 +116,8 @@ class SSDTargets:
 
 def ssd_targets(ctx: SSDAnchorContext, gt, num_classes,
                 coder: DeltaXYWHBBoxCoder, pos_iou_thr=0.5,
-                neg_iou_thr=0.5, min_pos_iou=0.2):
+                neg_iou_thr=0.5, min_pos_iou=0.0):
+    # min_pos_iou=0. per configs/_base_/models/ssd300.py:48
     anchors = jnp.asarray(ctx.anchors)
 
     def single(gt_b, gt_l, gt_m):

@@ -28,16 +28,18 @@ def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_mask,
     ignore_mask = (max_overlaps >= neg_iou_thr) & (max_overlaps < pos_iou_thr)
 
     if match_low_quality:
-        # For each valid gt, its argmax anchor becomes positive if IoU >= min_pos_iou.
+        # reference max_iou_assigner.py:217-232 semantics, exactly:
+        # gt_max_assign_all=True reassigns EVERY anchor tying the gt's
+        # best IoU (not just the argmax); the python loop runs gts in
+        # index order, so the highest-index forcing gt wins; and the
+        # overwrite applies even to anchors already positive from step 3.
         gt_best = overlaps.max(axis=0)  # (G,)
-        gt_best_anchor = overlaps.argmax(axis=0)  # (G,)
-        force = gt_mask & (gt_best >= jnp.maximum(min_pos_iou, 1e-12))
-        n = anchors.shape[0]
-        forced_pos = jnp.zeros((n,), bool).at[gt_best_anchor].max(force)
-        forced_gt = jnp.full((n,), -1, jnp.int32).at[gt_best_anchor].max(
-            jnp.where(force, jnp.arange(gt_bboxes.shape[0], dtype=jnp.int32),
-                      -1))
-        gt_idx = jnp.where(forced_pos & ~pos_mask, forced_gt, gt_idx)
+        force = gt_mask & (gt_best >= min_pos_iou) & (gt_best > -1.0)
+        eligible = (overlaps == gt_best[None, :]) & force[None, :]  # (N,G)
+        forced_pos = eligible.any(axis=1)
+        g = gt_bboxes.shape[0]
+        last_idx = (g - 1) - jnp.argmax(eligible[:, ::-1], axis=1)
+        gt_idx = jnp.where(forced_pos, last_idx.astype(jnp.int32), gt_idx)
         pos_mask = pos_mask | forced_pos
         ignore_mask = ignore_mask & ~forced_pos
 

@@ -149,6 +149,38 @@ def test_loader_batching(tmp_path):
                                   batches2[0]['images'])
 
 
+def test_class_aware_sampler_rebalances(tmp_path):
+    """ClassAwareSampler: rare categories appear far more often than
+    their image frequency (reference class_aware_sampler.py recipe)."""
+    cats = [(1, 'person'), (90, 'toothbrush')]
+    # 19 images with only 'person' (common), 1 with 'toothbrush' (rare)
+    imgs = [(i, 64, 48) for i in range(1, 21)]
+    anns = [(i, 1, [1, 1, 20, 20]) for i in range(1, 20)]
+    anns.append((20, 90, [1, 1, 20, 20]))
+    path = make_coco_json(tmp_path, cats, imgs, anns)
+    ds = CocoDataset(path)
+
+    class FakePipe(DetPipeline):
+        def __call__(self, record, rng=None, image=None):
+            img = np.zeros((record.height, record.width, 3), np.uint8)
+            return super().__call__(record, rng, image=img)
+
+    loader = DetDataLoader(ds, FakePipe(scale=(64, 48)),
+                           LoaderConfig(batch_size=4, seed=0,
+                                        sampler='class_aware'))
+    seen = []
+    for ep in range(3):
+        for b in loader.epoch(ep):
+            seen.extend(np.asarray(b['meta'].img_id).tolist())
+    # the single rare image (id 20) should supply ~half of all draws
+    rare_frac = seen.count(20) / len(seen)
+    assert rare_frac > 0.3, rare_frac
+    # epoch determinism
+    a = [np.asarray(b['meta'].img_id) for b in loader.epoch(0)]
+    b2 = [np.asarray(b['meta'].img_id) for b in loader.epoch(0)]
+    np.testing.assert_array_equal(np.stack(a), np.stack(b2))
+
+
 def test_loader_forwards_worker_exceptions(tmp_path):
     """A raising pipeline must abort the epoch with the original error,
     not deadlock the consumer (VERDICT r1 weak #1)."""

@@ -9,7 +9,7 @@ import torch
 
 from erd_tpu.data import DetDataLoader, DetPipeline, LoaderConfig
 from erd_tpu.data.coco import ImageRecord
-from erd_tpu.engine import (Trainer, TrainerConfig, auto_scale_lr,
+from erd_tpu.engine import (Hook, Trainer, TrainerConfig, auto_scale_lr,
                             sgd_optimizer, warmup_multistep)
 from erd_tpu.models import GFLDetector
 from erd_tpu.parallel import make_mesh
@@ -24,6 +24,27 @@ def test_schedule_values():
     np.testing.assert_allclose(float(s(1500)), 0.001, rtol=1e-6)
     np.testing.assert_allclose(float(s(2500)), 0.0001, rtol=1e-6)
     assert auto_scale_lr(0.01, 8) == pytest.approx(0.005)
+
+
+def test_warmup_cosine_schedule():
+    """YOLOX/RTMDet recipe: (quadratic) warmup -> flat -> cosine -> floor."""
+    from erd_tpu.engine.schedules import warmup_cosine
+    base, floor = 0.01, 0.01 * 0.05
+    s = warmup_cosine(base, warmup_iters=100, cosine_begin_step=500,
+                      cosine_end_step=1500, min_lr_ratio=0.05,
+                      quadratic_warmup=True)
+    np.testing.assert_allclose(float(s(50)), base * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), base, rtol=1e-6)
+    np.testing.assert_allclose(float(s(300)), base, rtol=1e-6)  # flat
+    np.testing.assert_allclose(float(s(1000)), (base + floor) / 2,
+                               rtol=1e-6)  # cosine midpoint
+    np.testing.assert_allclose(float(s(1500)), floor, rtol=1e-6)
+    np.testing.assert_allclose(float(s(9999)), floor, rtol=1e-6)  # last
+    # linear-warmup variant (RTMDet)
+    s2 = warmup_cosine(base, warmup_iters=100, warmup_factor=1e-5,
+                       cosine_begin_step=100, cosine_end_step=200)
+    np.testing.assert_allclose(float(s2(0)), base * 1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(s2(200)), floor, rtol=1e-6)
 
 
 def test_sgd_matches_torch():
@@ -110,15 +131,9 @@ def test_trainer_e2e_8dev_mesh():
 
     seen = []
 
-    class Capture:
-        def before_train(self, t):
-            pass
-
+    class Capture(Hook):
         def after_iter(self, t, step, losses):
             seen.append(sum(losses.values()))
-
-        def after_epoch(self, t, e):
-            pass
 
     tr.hooks = [Capture()]
     out = tr.fit(variables)

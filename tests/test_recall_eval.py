@@ -58,12 +58,89 @@ def test_yolox_l1_mode_switch():
     tr.det = det
     tr.loader = T()
     hook = YOLOXModeSwitchHook(max_epochs=10, num_last_epochs=5)
-    hook.after_epoch(tr, epoch=4)  # epoch 5 == 10-5 -> switch
+    hook.before_epoch(tr, epoch=3)  # too early: epoch+1=4 < 5
+    assert 'loss_l1_bbox' not in det.loss_jit(variables, batch)
+    hook.before_epoch(tr, epoch=4)  # epoch+1 == 10-5 -> switch
     after = det.loss_jit(variables, batch)
     assert float(after['loss_l1_bbox']) > 0
     for k in base:
         np.testing.assert_allclose(float(after[k]), float(base[k]),
                                    rtol=1e-5)
+
+
+def test_yolox_l1_switch_reaches_compiled_train_step():
+    """Regression (round-2 advisor, high): the L1 flag is read at trace
+    time inside Trainer's compiled step, so the hook must rebuild
+    trainer._train_step — flipping the attribute alone is a no-op."""
+    import jax
+    from erd_tpu.data import DetDataLoader, LoaderConfig
+    from erd_tpu.engine import (Hook, Trainer, TrainerConfig,
+                                YOLOXModeSwitchHook)
+    from erd_tpu.models.detectors.yolox import YOLOXDetector
+    from erd_tpu.parallel import make_mesh
+    from tests.test_engine import BlankPipe, SyntheticDataset
+
+    det = YOLOXDetector(num_classes=3)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    ds = SyntheticDataset(n=8)
+    loader = DetDataLoader(ds, BlankPipe(scale=(96, 64), max_gt=8),
+                           LoaderConfig(batch_size=8, seed=0))
+    per_epoch_keys = {}
+
+    class KeyCapture(Hook):
+        def after_iter(self, t, step, losses):
+            per_epoch_keys.setdefault(t.epoch_now, set()).update(losses)
+
+        def before_epoch(self, t, epoch):
+            t.epoch_now = epoch
+
+    # switch_epoch = 2 - 0 = 2? use max_epochs=2, num_last_epochs=1 ->
+    # switch fires before epoch 1 (epoch+1 == 2 > 1? no: 0+1=1 >= 1)
+    hook = YOLOXModeSwitchHook(max_epochs=3, num_last_epochs=1)
+    tr = Trainer(det, loader,
+                 TrainerConfig(epochs=2, base_lr=1e-3, warmup_iters=2,
+                               milestones_epochs=(), frozen_stages=-1),
+                 mesh=make_mesh(), hooks=[KeyCapture(), hook])
+    tr.fit(variables)
+    assert 'loss_l1_bbox' not in per_epoch_keys[0]
+    assert 'loss_l1_bbox' in per_epoch_keys[1]
+
+
+def test_coco_metric_proposal_fast_batch_path(tmp_path):
+    """Regression (round-2 advisor, medium): proposal_fast AR must be
+    populated through process_batch — the standard evaluation path —
+    not only through the offline per-image path."""
+    import json
+    from erd_tpu.data import CocoDataset
+    from erd_tpu.evaluation.coco_metric import CocoMetric
+    from erd_tpu.structures import DetResults, ImageMeta
+    ann = dict(
+        images=[dict(id=1, file_name='a.jpg', width=100, height=100)],
+        annotations=[
+            dict(id=1, image_id=1, category_id=1, bbox=[0, 0, 10, 10],
+                 area=100, iscrowd=0),
+            dict(id=2, image_id=1, category_id=1, bbox=[50, 50, 20, 20],
+                 area=400, iscrowd=0)],
+        categories=[dict(id=1, name='person')])
+    p = tmp_path / 'ann.json'
+    p.write_text(json.dumps(ann))
+    ds = CocoDataset(str(p), classes=('person',), test_mode=True)
+    m = CocoMetric(ds, metrics='proposal_fast')
+    dets = DetResults(
+        bboxes=np.asarray([[[0., 0., 10., 10.], [80., 80., 99., 99.]]]),
+        scores=np.asarray([[0.9, 0.8]]),
+        labels=np.asarray([[0, 0]]),
+        mask=np.asarray([[True, True]]))
+    metas = ImageMeta(
+        img_shape=np.asarray([[100., 100.]]),
+        ori_shape=np.asarray([[100., 100.]]),
+        scale_factor=np.asarray([[1., 1.]]),
+        flip=np.asarray([False]),
+        img_id=np.asarray([1], np.int32),
+        valid=np.asarray([True]))
+    m.process_batch(dets, metas)
+    out = m.compute_metrics()
+    assert out['AR@100'] == 0.5
 
 
 def test_teacher_student_val_hook():

@@ -72,6 +72,45 @@ def test_mixup_skips_empty_gt_partner():
     np.testing.assert_array_equal(out.img, a.img)
 
 
+def test_cached_mosaic_warms_up_then_composites():
+    """CachedMosaic passes samples through until the cache holds > 4,
+    then composites from the cache (reference CachedMosaic)."""
+    from erd_tpu.data.strong_aug import CachedMosaic
+    rs = np.random.RandomState(0)
+    t = CachedMosaic(img_scale=(64, 64), max_cached_images=10)
+    outs = [t(solid(30 + 10 * i, label=i), rs) for i in range(8)]
+    # first 4 calls: cache <= 4, identity
+    for i in range(4):
+        assert outs[i].img.shape == (80, 120, 3)
+    # later calls composite onto the 2x canvas
+    assert outs[7].img.shape == (128, 128, 3)
+    assert len(t._cache) == 8
+
+
+def test_cached_mosaic_cache_bounded():
+    from erd_tpu.data.strong_aug import CachedMosaic
+    rs = np.random.RandomState(1)
+    t = CachedMosaic(img_scale=(64, 64), max_cached_images=5)
+    for i in range(20):
+        t(solid(40, label=0), rs)
+    assert len(t._cache) <= 5
+
+
+def test_cached_mixup_blends_from_cache():
+    from erd_tpu.data.strong_aug import CachedMixUp
+    rs = np.random.RandomState(2)
+    t = CachedMixUp(img_scale=(64, 64), ratio_range=(1.0, 1.0),
+                    flip_ratio=1.0, max_cached_images=8)
+    a = solid(200, h=64, w=64, box=(8, 8, 40, 40), label=0)
+    out1 = t(a, rs)
+    np.testing.assert_array_equal(out1.img, a.img)  # cache <= 1
+    b = solid(0, h=64, w=64, box=(8, 8, 56, 56), label=1)
+    out2 = t(b, rs)
+    # partner comes from the cache (a or b); blended pixels
+    assert out2.img.shape == (64, 64, 3)
+    assert len(t._cache) == 2
+
+
 def test_random_affine_identity():
     rs = np.random.RandomState(0)
     s = solid(77)
@@ -253,9 +292,9 @@ def test_build_loader_strong_aug_and_pipeline_switch(tmp_path):
 
     trainer = T()
     trainer.loader = loader
-    hook.after_epoch(trainer, 0)
+    hook.before_epoch(trainer, 1)
     assert isinstance(trainer.loader.pipeline, AugPipeline)  # not yet
-    hook.after_epoch(trainer, 1)
+    hook.before_epoch(trainer, 2)  # new pipeline active FOR epoch 2
     assert type(trainer.loader.pipeline) is DetPipeline  # switched
     # weak pipeline still produces valid batches
     batches = list(loader.epoch(2))
