@@ -25,7 +25,9 @@ def main():
     from erd_tpu.models import ERDConfig, ERDDetector
     from __graft_entry__ import _make_batch
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # bs=16 > bs=8 since the round-2 fp32-promotion fix (ROUND2.md: 46.3
+    # vs 44.4 img/s); bs=32 exceeds HBM on a single v5e chip
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     h, w = 800, 1344
 
     det = ERDDetector(num_classes=80, depth=50,

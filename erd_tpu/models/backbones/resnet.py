@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..layers import FrozenBatchNorm, max_pool_torch, torch_pad
@@ -140,6 +141,13 @@ class ResNet(nn.Module):
     # (False, False, True, True), after_conv2)
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
     compute_dtype: jnp.dtype = jnp.float32
+    # reference resnet.py _freeze_stages: requires_grad=False on the stem
+    # (>=0) and layer1..layerN (>=N). Beyond the optimizer zero-update
+    # mask (engine/optim.py), a stop_gradient at the frozen boundary lets
+    # XLA dead-code-eliminate the ENTIRE backward pass through the frozen
+    # stages — the same pruning torch autograd does when nothing below
+    # requires grad.
+    frozen_stages: int = -1
 
     @nn.compact
     def __call__(self, x):
@@ -153,6 +161,8 @@ class ResNet(nn.Module):
         x = FrozenBatchNorm(self.base_channels, name='stem_bn')(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         planes = self.base_channels
@@ -176,6 +186,8 @@ class ResNet(nn.Module):
                 x = block_cls(planes, stride=stride if b == 0 else 1,
                               downsample=needs_ds, dilation=dilation,
                               name=f'layer{stage + 1}_block{b}', **kw)(x)
+            if self.frozen_stages >= stage + 1:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

@@ -57,7 +57,10 @@ class MaskRCNNDetector(FasterRCNNDetector):
         self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
         self.forward_jit = jax.jit(self.forward_raw)
 
-    def _roi_feats(self, feats, rois, out_size):
+    def _roi_feats(self, variables, feats, rois, out_size=7):
+        # signature must stay parent-compatible: FasterRCNNDetector.loss/
+        # predict call self._roi_feats(variables, feats, rois) and GRoIE
+        # overrides on the same contract
         return jax.vmap(
             lambda f0, f1, f2, f3, r: multilevel_roi_align(
                 [f0, f1, f2, f3], r, out_size=out_size)
@@ -98,7 +101,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
           batch['gt'].labels, batch['gt'].mask)
 
         s = samples.rois.shape[1]
-        roi7 = self._roi_feats(feats, samples.rois, 7)
+        roi7 = self._roi_feats(variables, feats, samples.rois, 7)
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi7.reshape(b * s, 7, 7, -1),
             method=MaskRCNNNet.roi_forward)
@@ -108,7 +111,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
         losses.update(rcnn_losses)
 
         # ---- mask branch on positive RoIs ----
-        roi14 = self._roi_feats(feats, samples.rois, 14)
+        roi14 = self._roi_feats(variables, feats, samples.rois, 14)
         mask_logits = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi14.reshape(b * s, 14, 14, -1),
             method=MaskRCNNNet.mask_forward).astype(jnp.float32)
@@ -143,7 +146,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
         else:
             rois = res.bboxes
         b, d = rois.shape[:2]
-        roi14 = self._roi_feats(feats, rois, 14)
+        roi14 = self._roi_feats(variables, feats, rois, 14)
         mask_logits = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi14.reshape(b * d, 14, 14, -1),
             method=MaskRCNNNet.mask_forward).astype(jnp.float32)

@@ -148,7 +148,7 @@ class MaskScoringRCNNDetector(MaskRCNNDetector):
         )(rngs, prop_boxes, prop_mask, batch['gt'].bboxes,
           batch['gt'].labels, batch['gt'].mask)
         s = samples.rois.shape[1]
-        roi7 = self._roi_feats(feats, samples.rois, 7)
+        roi7 = self._roi_feats(variables, feats, samples.rois, 7)
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype),
             roi7.reshape(b * s, 7, 7, -1), method='roi_forward')
@@ -157,7 +157,7 @@ class MaskScoringRCNNDetector(MaskRCNNDetector):
                                    self.num_classes, self.rcnn_train_cfg)
         losses.update(rcnn_losses)
 
-        roi14 = self._roi_feats(feats, samples.rois, 14)
+        roi14 = self._roi_feats(variables, feats, samples.rois, 14)
         roi14_flat = roi14.reshape(b * s, 14, 14, -1)
         mask_logits = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi14_flat,
@@ -215,7 +215,7 @@ class MaskScoringRCNNDetector(MaskRCNNDetector):
         else:
             rois = res.bboxes
         b, d = rois.shape[:2]
-        roi14 = self._roi_feats(feats, rois, 14)
+        roi14 = self._roi_feats(variables, feats, rois, 14)
         # logits of the predicted class
         logits = jax.lax.stop_gradient(
             jnp.log(jnp.clip(masks, 1e-6, 1 - 1e-6) /

@@ -157,7 +157,7 @@ class PointRendDetector(MaskRCNNDetector):
         )(rngs, prop_boxes, prop_mask, batch['gt'].bboxes,
           batch['gt'].labels, batch['gt'].mask)
         s = samples.rois.shape[1]
-        roi7 = self._roi_feats(feats, samples.rois, 7)
+        roi7 = self._roi_feats(variables, feats, samples.rois, 7)
         cls_logits, reg_preds = self.net.apply(
             v, roi7.reshape(b * s, 7, 7, -1), method='roi_forward')
         rcnn_losses, _ = rcnn_loss(cls_logits.astype(jnp.float32),
@@ -166,7 +166,7 @@ class PointRendDetector(MaskRCNNDetector):
         losses.update(rcnn_losses)
 
         # ---- coarse mask head ----
-        roi14 = self._roi_feats(feats, samples.rois, 14)
+        roi14 = self._roi_feats(variables, feats, samples.rois, 14)
         coarse = self.net.apply(
             v, roi14.reshape(b * s, 14, 14, -1).astype(jnp.float32),
             method='coarse_forward').astype(jnp.float32)
@@ -237,7 +237,7 @@ class PointRendDetector(MaskRCNNDetector):
         else:
             rois = res.bboxes
         b, d = rois.shape[:2]
-        roi14 = self._roi_feats(feats, rois, 14)
+        roi14 = self._roi_feats(variables, feats, rois, 14)
         coarse = self.net.apply(
             v, roi14.reshape(b * d, 14, 14, -1).astype(jnp.float32),
             method='coarse_forward').astype(jnp.float32)

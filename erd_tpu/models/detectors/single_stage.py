@@ -47,12 +47,16 @@ class GFLNet(nn.Module):
     context_block_stages: Tuple[bool, ...] = (False, False, False, False)
     context_block_ratio: float = 0.25
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
+    # stem+layer1 frozen is the reference 1x recipe default; the matching
+    # zero-update optimizer mask lives in engine/optim.py
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, images, return_feats: bool = False):
         backbone_cls = nn.remat(ResNet) if self.remat else ResNet
         feats = backbone_cls(
             depth=self.depth, compute_dtype=self.compute_dtype,
+            frozen_stages=self.frozen_stages,
             dcn_stages=self.dcn_stages,
             context_block_stages=self.context_block_stages,
             context_block_ratio=self.context_block_ratio,
@@ -86,6 +90,7 @@ class GFLDetector:
     context_block_stages: Tuple[bool, ...] = (False, False, False, False)
     context_block_ratio: float = 0.25
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
+    frozen_stages: int = 1
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
@@ -98,7 +103,8 @@ class GFLDetector:
                           remat=self.remat, dcn_stages=self.dcn_stages,
                           context_block_stages=self.context_block_stages,
                           context_block_ratio=self.context_block_ratio,
-                          gen_attention_stages=self.gen_attention_stages)
+                          gen_attention_stages=self.gen_attention_stages,
+                          frozen_stages=self.frozen_stages)
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         if self.preprocessor.compute_dtype != self.compute_dtype:
             self.preprocessor = replace(self.preprocessor,

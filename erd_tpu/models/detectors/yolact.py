@@ -216,15 +216,14 @@ class YOLACTDetector:
                 neg_ce, min(neg_ce.shape[0], 4096))[0]
             kth = thresh[jnp.clip(n_neg - 1, 0, thresh.shape[0] - 1)]
             neg_sel = neg_ce >= jnp.where(n_neg > 0, kth, jnp.inf)
-            denom = jnp.maximum(n_pos.astype(jnp.float32), 1.0)
-            loss_cls = (ce * (pos | neg_sel)).sum() / denom
+            loss_cls = (ce * (pos | neg_sel)).sum()
             # box
             t = self.coder.encode(anchors, gt_b[res.gt_idx])
             t = jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
             err = jnp.abs(deltas - t)
             sl1 = jnp.where(err < 1.0, 0.5 * err * err, err - 0.5)
             loss_bbox = self.bbox_loss_weight * \
-                (sl1.sum(-1) * pos).sum() / denom
+                (sl1.sum(-1) * pos).sum()
             # mask branch on capped positives
             score = jnp.where(pos, res.max_overlaps, -jnp.inf)
             top, idx = jax.lax.top_k(score, k)
@@ -248,8 +247,7 @@ class YOLACTDetector:
                             (box[:, 3] - box[:, 1]) / 16.0, 1.0, None)
             per = (bce * inside).sum((-1, -2)) / area
             w = sel_ok & gt_m[sel_g]
-            loss_mask = self.mask_loss_weight * (per * w).sum() / \
-                jnp.maximum(w.sum(), 1.0)
+            loss_mask = self.mask_loss_weight * (per * w).sum()
             # semantic aux: per-class union of gt masks at the segm stride
             sh, sw = seg.shape[:2]
             sem_t = jnp.zeros((sh, sw, self.num_classes), jnp.float32)
@@ -261,16 +259,26 @@ class YOLACTDetector:
                 return acc.at[:, :, lab].max(m_j)
 
             sem_t = jax.lax.fori_loop(0, gt_b.shape[0], body, sem_t)
+            # reference loss_segm avg_factor = num_imgs*mask_h*mask_w
+            # (yolact_head.py:770,789-792): the class axis is NOT in the
+            # denominator
             loss_segm = binary_cross_entropy_with_logits(
-                seg, sem_t).mean()
-            return loss_cls, loss_bbox, loss_mask, loss_segm
+                seg, sem_t).sum() / (sh * sw)
+            return (loss_cls, loss_bbox, loss_mask, loss_segm,
+                    pos.sum().astype(jnp.float32), w.sum())
 
         rngs = jax.random.split(jax.random.PRNGKey(0), b)
-        lc, lb2, lm, ls = jax.vmap(single)(
+        lc, lb2, lm, ls, n_pos, n_sel = jax.vmap(single)(
             cls_flat, reg_flat, coeff_flat, protos, segm, gt.bboxes,
             gt.labels, gt.mask, gt.masks, rngs)
-        return dict(loss_cls=lc.mean(), loss_bbox=lb2.mean(),
-                    loss_mask=lm.mean(), loss_segm=ls.mean())
+        # reference normalization is batch-global (yolact_head.py:198
+        # avg_factor from get_targets for cls/bbox; :771-817 total_pos
+        # for the mask branch), not a per-image mean
+        denom = jnp.maximum(n_pos.sum(), 1.0)
+        return dict(loss_cls=lc.sum() / denom,
+                    loss_bbox=lb2.sum() / denom,
+                    loss_mask=lm.sum() / jnp.maximum(n_sel.sum(), 1.0),
+                    loss_segm=ls.mean())
 
     def predict(self, variables, batch, rescale=True):
         images = batch['images']

@@ -164,19 +164,25 @@ def paa_loss(ctx: AnchorContext, cls_scores, bbox_preds, iou_preds, gt,
         l_cls = sigmoid_focal_loss(cls_s, labels, reduction='none').sum()
         tgt = gt_b[gt_idx]
         lb = giou_loss(decoded, tgt, reduction='none')
-        l_box = (lb * pos).sum()
         iou_t = jnp.where(pos, bbox_overlaps(
             jax.lax.stop_gradient(decoded), tgt, is_aligned=True), 0.0)
+        # reference paa_head.py:168-172: GIoU weighted per-positive by
+        # the detached IoU target (clamped >= EPS), avg by its sum
+        l_box = (lb * jnp.clip(iou_t, 1e-6, None) * pos).sum()
         l_iou = (binary_cross_entropy_with_logits(iou_p, iou_t) *
                  pos).sum()
-        return l_cls, l_box, l_iou, pos.sum().astype(jnp.float32)
+        return (l_cls, l_box, l_iou, pos.sum().astype(jnp.float32),
+                (jnp.clip(iou_t, 1e-6, None) * pos).sum())
 
-    l_cls, l_box, l_iou, n_pos = jax.vmap(single)(
+    l_cls, l_box, l_iou, n_pos, iou_af = jax.vmap(single)(
         cls_scores, bbox_preds, iou_preds, gt.bboxes, gt.labels, gt.mask)
+    b = cls_scores.shape[0]
+    # reference paa_head.py:152-172: cls avg = max(num_pos, num_imgs),
+    # bbox avg = iou_target.sum(), iou avg = num_pos — all batch-global
     num_pos = jnp.maximum(n_pos.sum(), 1.0)
     return {
-        'loss_cls': l_cls.sum() / num_pos,
-        'loss_bbox': 1.3 * l_box.sum() / num_pos,
+        'loss_cls': l_cls.sum() / jnp.maximum(n_pos.sum(), float(b)),
+        'loss_bbox': 1.3 * l_box.sum() / jnp.maximum(iou_af.sum(), 1e-6),
         'loss_iou': 0.5 * l_iou.sum() / num_pos,
     }
 
@@ -195,19 +201,21 @@ def paa_loss_with_assignment(ctx: AnchorContext, cls_scores, bbox_preds,
         l_cls = sigmoid_focal_loss(cls_s, labels, reduction='none').sum()
         tgt = gt_b[gidx_i]
         lb = giou_loss(decoded, tgt, reduction='none')
-        l_box = (lb * pos_i).sum()
         iou_t = jnp.where(pos_i, bbox_overlaps(
             jax.lax.stop_gradient(decoded), tgt, is_aligned=True), 0.0)
+        l_box = (lb * jnp.clip(iou_t, 1e-6, None) * pos_i).sum()
         l_iou = (binary_cross_entropy_with_logits(iou_p, iou_t) *
                  pos_i).sum()
-        return l_cls, l_box, l_iou, pos_i.sum().astype(jnp.float32)
+        return (l_cls, l_box, l_iou, pos_i.sum().astype(jnp.float32),
+                (jnp.clip(iou_t, 1e-6, None) * pos_i).sum())
 
-    l_cls, l_box, l_iou, n_pos = jax.vmap(single)(
+    l_cls, l_box, l_iou, n_pos, iou_af = jax.vmap(single)(
         cls_scores, bbox_preds, iou_preds, pos, gt_idx, gt.bboxes,
         gt.labels, gt.mask)
+    b = cls_scores.shape[0]
     num_pos = jnp.maximum(n_pos.sum(), 1.0)
     return {
-        'loss_cls': l_cls.sum() / num_pos,
-        'loss_bbox': 1.3 * l_box.sum() / num_pos,
+        'loss_cls': l_cls.sum() / jnp.maximum(n_pos.sum(), float(b)),
+        'loss_bbox': 1.3 * l_box.sum() / jnp.maximum(iou_af.sum(), 1e-6),
         'loss_iou': 0.5 * l_iou.sum() / num_pos,
     }

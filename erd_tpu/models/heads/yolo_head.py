@@ -169,29 +169,41 @@ def yolo_targets(ctx: YOLOContext, gt, pos_iou_thr=0.5, neg_iou_thr=0.5):
 def yolo_loss(ctx: YOLOContext, preds, targets: YOLOTargets, num_classes,
               cls_weight=1.0, conf_weight=1.0, xy_weight=2.0,
               wh_weight=2.0):
-    """preds: (B, N, 5+C) raw maps [xy(2), wh(2), obj(1), cls(C)]."""
+    """preds: (B, N, 5+C) raw maps [xy(2), wh(2), obj(1), cls(C)].
+
+    Reference normalization (yolo_head.py:339-389 loss_by_feat_single +
+    the mmdet weighted-'mean' reduction): each term is a PER-LEVEL
+    weighted mean over every element of that level's prediction tensor
+    (batch x anchors x channels — negatives included in the denominator),
+    and the per-level losses sum. NOT a global sum over positives.
+    """
     pos = targets.pos_mask.astype(jnp.float32)
     neg = targets.neg_mask.astype(jnp.float32)
-    n_pos = jnp.maximum(pos.sum(), 1.0)
+    b = preds.shape[0]
 
     xy = preds[..., 0:2]
     wh = preds[..., 2:4]
     obj = preds[..., 4]
     cls = preds[..., 5:]
 
-    bce_xy = binary_cross_entropy_with_logits(xy, targets.xy_t).sum(-1)
-    loss_xy = xy_weight * (bce_xy * pos).sum() / n_pos
-    mse_wh = jnp.square(wh - targets.wh_t).sum(-1)
-    loss_wh = wh_weight * (mse_wh * pos).sum() / n_pos
-
-    obj_t = pos
-    obj_w = pos + neg
-    bce_obj = binary_cross_entropy_with_logits(obj, obj_t)
-    loss_conf = conf_weight * (bce_obj * obj_w).sum() / n_pos
-
+    bce_xy = (binary_cross_entropy_with_logits(xy, targets.xy_t) *
+              pos[..., None]).sum(-1)
+    mse_wh = (jnp.square(wh - targets.wh_t) * pos[..., None]).sum(-1)
+    bce_obj = binary_cross_entropy_with_logits(obj, pos) * (pos + neg)
     onehot = jax.nn.one_hot(targets.labels, num_classes)
-    bce_cls = binary_cross_entropy_with_logits(cls, onehot).sum(-1)
-    loss_cls = cls_weight * (bce_cls * pos).sum() / n_pos
+    bce_cls = (binary_cross_entropy_with_logits(cls, onehot) *
+               pos[..., None]).sum(-1)
+
+    loss_xy = loss_wh = loss_conf = loss_cls = 0.0
+    start = 0
+    for n_l in ctx.num_level_anchors:
+        sl = slice(start, start + n_l)
+        start += n_l
+        loss_xy += xy_weight * bce_xy[:, sl].sum() / (b * n_l * 2)
+        loss_wh += wh_weight * mse_wh[:, sl].sum() / (b * n_l * 2)
+        loss_conf += conf_weight * bce_obj[:, sl].sum() / (b * n_l)
+        loss_cls += cls_weight * bce_cls[:, sl].sum() / \
+            (b * n_l * num_classes)
     return dict(loss_cls=loss_cls, loss_conf=loss_conf, loss_xy=loss_xy,
                 loss_wh=loss_wh)
 

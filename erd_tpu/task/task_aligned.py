@@ -36,17 +36,23 @@ def task_aligned_assign(priors_xy, decoded_boxes, cls_scores, gt_bboxes,
     metric = jnp.power(jnp.clip(scores, 1e-8, None), alpha) * \
         jnp.power(jnp.clip(ious, 1e-8, None), beta)
 
+    # reference task_aligned_assigner.py:97-115: topk candidates are
+    # drawn over ALL priors by raw metric FIRST, and only then filtered
+    # by metric > 0 and center-inside-gt (with a 0.01 margin) — an
+    # outside high-metric candidate costs a slot rather than promoting
+    # the next inside point
     x, y = priors_xy[:, 0:1], priors_xy[:, 1:2]
-    inside = (x > gt_bboxes[None, :, 0]) & (x < gt_bboxes[None, :, 2]) & \
-             (y > gt_bboxes[None, :, 1]) & (y < gt_bboxes[None, :, 3])
+    lt = jnp.minimum(x - gt_bboxes[None, :, 0], y - gt_bboxes[None, :, 1])
+    rb = jnp.minimum(gt_bboxes[None, :, 2] - x, gt_bboxes[None, :, 3] - y)
+    inside = jnp.minimum(lt, rb) > 0.01
     inside = inside[:, 0] if inside.ndim == 3 else inside
     valid = inside & gt_mask[None, :]
-    metric = jnp.where(valid, metric, -INF)
+    metric = jnp.where(gt_mask[None, :], metric, -INF)
 
     k = min(topk, n)
     top_vals, top_idx = jax.lax.top_k(metric.T, k)  # (G, k)
     chosen = jnp.zeros((n, g), bool).at[
-        top_idx, jnp.arange(g)[:, None].repeat(k, 1)].max(top_vals > -INF)
+        top_idx, jnp.arange(g)[:, None].repeat(k, 1)].max(top_vals > 0)
     chosen = chosen & valid
 
     sel = jnp.where(chosen, ious, -INF)

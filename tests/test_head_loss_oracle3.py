@@ -198,3 +198,59 @@ def test_rtmdet_loss_parity(seed):
     np.testing.assert_allclose(got['loss_bbox'],
                                float(box_num) / max(box_af, 1.0),
                                rtol=3e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv3
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize('seed', [0, 1])
+def test_yolov3_loss_parity(seed):
+    """yolo_head.py:339-389 loss_by_feat_single + the mmdet weighted-
+    'mean' reduction: each term is a per-level weighted mean over every
+    element of that level's prediction tensor (negatives included in the
+    denominator), per-level losses summed. Targets enter through OUR
+    grid-responsibility builder (pinned in tests/test_yolov3.py)."""
+    from erd_tpu.models.heads.yolo_head import (YOLOContext, yolo_loss,
+                                                yolo_targets)
+
+    size, C, B = 64, 5, 2
+    ctx = YOLOContext.build((size, size))
+    N = ctx.anchors.shape[0]
+    rng = np.random.RandomState(seed + 3)
+    gts = [_rand_gt(rng, rng.randint(1, 4), size, size) for _ in range(B)]
+    gt = jax.tree.map(lambda *xs: jnp.stack(xs),
+                      *[_pad_gt(b, l) for b, l in gts])
+    tgts = yolo_targets(ctx, gt)
+    assert int(np.asarray(tgts.pos_mask).sum()) > 0
+
+    preds = rng.randn(B, N, 5 + C).astype(np.float32)
+    got = {k: float(v) for k, v in yolo_loss(
+        ctx, jnp.asarray(preds), tgts, C).items()}
+
+    pos = torch.tensor(np.asarray(tgts.pos_mask)).float()
+    neg = torch.tensor(np.asarray(tgts.neg_mask)).float()
+    xy_t = torch.tensor(np.asarray(tgts.xy_t))
+    wh_t = torch.tensor(np.asarray(tgts.wh_t))
+    onehot = torch.nn.functional.one_hot(
+        torch.tensor(np.asarray(tgts.labels)).long(), C).float()
+    p = torch.tensor(preds)
+    bce = torch.nn.functional.binary_cross_entropy_with_logits
+
+    want = dict(loss_cls=0.0, loss_conf=0.0, loss_xy=0.0, loss_wh=0.0)
+    start = 0
+    for n_l in ctx.num_level_anchors:
+        sl = slice(start, start + n_l)
+        start += n_l
+        w = pos[:, sl, None]
+        want['loss_xy'] += 2.0 * float(
+            (bce(p[:, sl, 0:2], xy_t[:, sl], reduction='none') * w).mean())
+        want['loss_wh'] += 2.0 * float(
+            ((p[:, sl, 2:4] - wh_t[:, sl]) ** 2 * w).mean())
+        want['loss_conf'] += float(
+            (bce(p[:, sl, 4], pos[:, sl], reduction='none') *
+             (pos[:, sl] + neg[:, sl])).mean())
+        want['loss_cls'] += float(
+            (bce(p[:, sl, 5:], onehot[:, sl], reduction='none') * w).mean())
+
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=3e-4, atol=1e-7)
