@@ -170,7 +170,9 @@ class DetDataLoader:
 
         def produce():
             try:
-                with cf.ThreadPoolExecutor(self.cfg.num_workers) as pool:
+                # num_workers=0 means "no parallelism", not "no pool"
+                with cf.ThreadPoolExecutor(
+                        max(self.cfg.num_workers, 1)) as pool:
                     futs = []
                     for b in batches:
                         if stop.is_set():
