@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (make_mesh, replicate, shard_batch,
+                             shard_params_fsdp)
 from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
 from .hooks import CheckInvalidLossHook, Hook, LoggerHook
 from .optim import sgd_optimizer
@@ -50,6 +51,7 @@ class TrainerConfig:
     backbone_lr_mult: float = 1.0
     auto_scale_base_batch: int = 16
     grad_clip: Optional[float] = None
+    param_sharding: str = 'replicated'  # 'replicated' (DDP) | 'fsdp'
     log_interval: int = 50
     ckpt_dir: Optional[str] = None
     ckpt_interval_epochs: int = 1
@@ -146,10 +148,34 @@ class Trainer:
         # and device_put may alias the caller's arrays, which donation would
         # then delete out from under the caller.
         params = jax.tree.map(jnp.copy, variables['params'])
-        params = replicate(params, self.mesh)
-        consts = replicate(consts, self.mesh)
-        opt_state = jax.jit(self.tx.init)(params)
-        opt_state = replicate(opt_state, self.mesh)
+        if self.cfg.param_sharding == 'fsdp':
+            # ZeRO-3 analogue over the same data axis: params/opt-state
+            # shard leaf-wise, GSPMD all-gathers at use and reduce-
+            # scatters grads; replicated DDP is the reference-equivalent
+            # default
+            params = shard_params_fsdp(params, self.mesh)
+            consts = replicate(consts, self.mesh)
+            opt_state = shard_params_fsdp(jax.jit(self.tx.init)(params),
+                                          self.mesh)
+            # donation needs output layouts == input layouts; pin them,
+            # otherwise GSPMD may pick different output shardings and
+            # break the buffer aliasing
+            psh = jax.tree.map(lambda x: x.sharding, params)
+            osh = jax.tree.map(lambda x: x.sharding, opt_state)
+
+            def _pinned_step(p, o, c, b, t):
+                p2, o2, losses, c2 = self._step_impl(p, o, c, b, t)
+                p2 = jax.lax.with_sharding_constraint(p2, psh)
+                o2 = jax.lax.with_sharding_constraint(o2, osh)
+                return p2, o2, losses, c2
+
+            self._train_step = jax.jit(_pinned_step,
+                                       donate_argnums=(0, 1))
+        else:
+            params = replicate(params, self.mesh)
+            consts = replicate(consts, self.mesh)
+            opt_state = jax.jit(self.tx.init)(params)
+            opt_state = replicate(opt_state, self.mesh)
         teacher = (replicate(self.teacher_variables, self.mesh)
                    if self.teacher_variables is not None else None)
 
