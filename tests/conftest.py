@@ -19,6 +19,18 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent XLA compilation cache: the suite is compile-bound (hundreds
+# of model-family jits), and cached binaries cut repeat full-suite runs
+# by an order of magnitude. Cross-process measured: 8.1s -> 1.3s on a
+# representative conv stack.
+_cache_dir = os.environ.get(
+    'ERD_TPU_TEST_CACHE',
+    os.path.join(os.path.expanduser('~'), '.cache', 'erd_tpu_xla_tests'))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
