@@ -346,13 +346,37 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
 def build_dataset(cfg: Config, loader_cfg: Config,
                   data_root: str = '', test_mode=False) -> CocoDataset:
     ds_cfg = loader_cfg.dataset
-    return CocoDataset(
+    dtype = ds_cfg.get('type', 'CocoDataset')
+    common = dict(
+        filter_empty_gt=ds_cfg.get('filter_empty_gt', True),
+        min_size=ds_cfg.get('min_size', 32), test_mode=test_mode)
+    if dtype == 'VOCDataset':
+        from ..data import VOCDataset
+        return VOCDataset(
+            data_root=os.path.join(data_root,
+                                   ds_cfg.get('sub_data_root', '')),
+            split=ds_cfg.get('split', 'trainval'),
+            year=str(ds_cfg.get('year', '2007')), **common)
+    coco_kwargs = dict(
         ann_file=os.path.join(data_root, ds_cfg.ann_file),
         img_prefix=os.path.join(data_root, ds_cfg.get('img_prefix', '')),
-        filter_empty_gt=ds_cfg.get('filter_empty_gt', True),
-        min_size=ds_cfg.get('min_size', 32),
-        test_mode=test_mode,
-        with_mask=ds_cfg.get('with_mask', False))
+        **common)
+    if dtype == 'LVISDataset':
+        from ..data import LVISDataset
+        return LVISDataset(**coco_kwargs)
+    if dtype in ('Objects365V1Dataset', 'Objects365V2Dataset',
+                 'CityscapesDataset', 'DeepFashionDataset'):
+        from ..data import extra_datasets
+        return getattr(extra_datasets, dtype)(**coco_kwargs)
+    if dtype == 'CocoPanopticDataset':
+        from ..data.coco_panoptic import CocoPanopticDataset
+        return CocoPanopticDataset(
+            seg_prefix=os.path.join(data_root,
+                                    ds_cfg.get('seg_prefix', '')),
+            **coco_kwargs)
+    assert dtype == 'CocoDataset', f'unknown dataset type {dtype}'
+    return CocoDataset(with_mask=ds_cfg.get('with_mask', False),
+                       **coco_kwargs)
 
 
 def build_strong_aug(spec, dataset):
