@@ -149,10 +149,14 @@ def _batch_for(name, gts=None):
     return make_batch(h=h, w=w, gts=gts)
 
 
+_NEVER_ZERO = ('loss_center_heatmap',)  # gaussian focal has a bg term
+
+
 def _split(losses):
     vals = {k: float(v) for k, v in losses.items()}
     zero_keys = [k for k in vals
-                 if any(s in k for s in _ZERO_ON_EMPTY)]
+                 if any(s in k for s in _ZERO_ON_EMPTY)
+                 and k not in _NEVER_ZERO]
     pos_keys = [k for k in vals if k not in zero_keys]
     return vals, zero_keys, pos_keys
 
