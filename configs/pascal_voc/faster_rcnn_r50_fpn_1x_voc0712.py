@@ -7,12 +7,12 @@ model = dict(type='FasterRCNN', num_classes=20, depth=50,
 train_dataloader = dict(
     batch_size=16, num_workers=8, seed=0,
     dataset=dict(type='VOCDataset', ann_file='', split='trainval',
-                 year='2007'),
+                 year='2007', sub_data_root='VOC2007'),
     pipeline=dict(scale=(1000, 600), flip_prob=0.5, max_gt=100))
 val_dataloader = dict(
     batch_size=8, shuffle=False, drop_last=False,
     dataset=dict(type='VOCDataset', ann_file='', split='test',
-                 year='2007'),
+                 year='2007', sub_data_root='VOC2007'),
     pipeline=dict(scale=(1000, 600), flip_prob=0.0, max_gt=100))
 val_evaluator = dict(metric='mAP')  # VOC protocol
 test_dataloader = val_dataloader

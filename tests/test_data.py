@@ -235,3 +235,39 @@ def test_lvis_dataset(tmp_path):
     assert r.path == '/data/val2017/000000000139.jpg'
     # labels contiguous in category-id order: cat 2 -> 0, cat 7 -> 2
     assert sorted(r.labels.tolist()) == [0, 2]
+
+
+def test_build_dataset_type_dispatch(tmp_path):
+    """build_dataset routes dataset.type to the right class (VOC devkit,
+    LVIS, Cityscapes/Objects365 subclasses, panoptic)."""
+    from erd_tpu.apis.build import build_dataset
+    from erd_tpu.config import Config
+    from erd_tpu.data import LVISDataset, VOCDataset
+    from erd_tpu.data.extra_datasets import CityscapesDataset
+
+    cats = [(1, 'person'), (2, 'rider'), (3, 'car'), (4, 'truck'),
+            (5, 'bus'), (6, 'train'), (7, 'motorcycle'), (8, 'bicycle')]
+    path = make_coco_json(tmp_path, cats, [(1, 64, 48)],
+                          [(1, 1, [1, 1, 20, 20])])
+
+    def cfg_for(dtype):
+        return Config._wrap({'dataset': {'type': dtype,
+                                         'ann_file': path,
+                                         'img_prefix': str(tmp_path)}})
+
+    assert isinstance(build_dataset(None, cfg_for('LVISDataset')),
+                      LVISDataset)
+    cs = build_dataset(None, cfg_for('CityscapesDataset'))
+    assert isinstance(cs, CityscapesDataset)
+    assert cs.label_names[0] == 'person'
+
+    # VOC routes through the devkit layout
+    base = tmp_path / 'VOC2007'
+    (base / 'Annotations').mkdir(parents=True)
+    (base / 'ImageSets' / 'Main').mkdir(parents=True)
+    (base / 'ImageSets' / 'Main' / 'trainval.txt').write_text('')
+    voc = build_dataset(None, Config._wrap(
+        {'dataset': {'type': 'VOCDataset', 'split': 'trainval',
+                     'year': 2007, 'sub_data_root': 'VOC2007'}}),
+        data_root=str(tmp_path))
+    assert isinstance(voc, VOCDataset)
