@@ -42,6 +42,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     )
     if model_cfg.get('dcn_stages'):
         base['dcn_stages'] = tuple(model_cfg['dcn_stages'])
+    if model_cfg.get('backbone'):
+        # backbone swap (configs/swin, configs/regnet, ... — GFL and the
+        # Faster/Mask R-CNN assemblies accept SWAPPABLE_BACKBONES specs)
+        base['backbone'] = dict(model_cfg['backbone'])
     # backbone plugin passthrough (gcnet / empirical_attention configs);
     # only detectors whose backbones expose these accept them, so they
     # ride **base like dcn_stages does

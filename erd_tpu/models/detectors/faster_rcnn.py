@@ -36,12 +36,25 @@ class FasterRCNNNet(nn.Module):
     num_classes: int
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    # static backbone spec tuple + its per-level channels (probed by the
+    # detector via backbone_out_channels) — swaps ResNet for any
+    # SWAPPABLE_BACKBONES entry
+    backbone_spec: Any = None
+    backbone_channels: Tuple[int, ...] = ()
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth,
-                               compute_dtype=self.compute_dtype)
-        in_ch = {18: (64, 128, 256, 512), 34: (64, 128, 256, 512)}.get(
-            self.depth, (256, 512, 1024, 2048))
+        if self.backbone_spec is not None:
+            from ..backbones import build_swappable_backbone
+            self.backbone = build_swappable_backbone(
+                dict(self.backbone_spec), self.compute_dtype)
+            in_ch = tuple(self.backbone_channels)
+            assert in_ch, 'backbone_channels required with backbone_spec'
+        else:
+            self.backbone = ResNet(depth=self.depth,
+                                   compute_dtype=self.compute_dtype)
+            in_ch = {18: (64, 128, 256, 512),
+                     34: (64, 128, 256, 512)}.get(
+                self.depth, (256, 512, 1024, 2048))
         self.neck = FPN(in_channels=in_ch, out_channels=256, start_level=0,
                         add_extra_convs='', num_outs=5)
         self.rpn_head = RPNHeadNet()
@@ -71,6 +84,7 @@ class FasterRCNNDetector:
     num_classes: int = 80
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    backbone: Any = None  # dict spec, e.g. {'type': 'SwinTransformer'}
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     rpn_train_cfg: RPNTrainConfig = field(default_factory=RPNTrainConfig)
     rcnn_train_cfg: RCNNTrainConfig = field(default_factory=RCNNTrainConfig)
@@ -83,10 +97,21 @@ class FasterRCNNDetector:
     test_cfg: GFLTestConfig = field(
         default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
 
+    def _backbone_net_kwargs(self):
+        if not self.backbone:
+            return {}
+        from ..backbones import (backbone_out_channels,
+                                 backbone_spec_to_static)
+        return dict(
+            backbone_spec=backbone_spec_to_static(self.backbone),
+            backbone_channels=backbone_out_channels(self.backbone,
+                                                    self.compute_dtype))
+
     def __post_init__(self):
         self.net = FasterRCNNNet(num_classes=self.num_classes,
                                  depth=self.depth,
-                                 compute_dtype=self.compute_dtype)
+                                 compute_dtype=self.compute_dtype,
+                                 **self._backbone_net_kwargs())
         self.anchor_generator = rpn_anchor_generator()
         self.rpn_coder = DeltaXYWHBBoxCoder()
         self.rcnn_coder = DeltaXYWHBBoxCoder(

@@ -52,7 +52,8 @@ class MaskRCNNDetector(FasterRCNNDetector):
         super().__post_init__()
         self.net = MaskRCNNNet(num_classes=self.num_classes,
                                depth=self.depth,
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=self.compute_dtype,
+                               **self._backbone_net_kwargs())
         self.loss_jit = jax.jit(self.loss)
         self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
         self.forward_jit = jax.jit(self.forward_raw)

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from ..layers import cast_compute_params
 from ...task import AnchorGenerator
+from ..backbones import (backbone_spec_to_static,
+                         build_swappable_backbone)
 from ..backbones.resnet import ResNet
 from ..heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                               GFLTrainConfig, flatten_levels, gfl_loss,
@@ -50,18 +52,26 @@ class GFLNet(nn.Module):
     # stem+layer1 frozen is the reference 1x recipe default; the matching
     # zero-update optimizer mask lives in engine/optim.py
     frozen_stages: int = 1
+    # static (hashable) backbone spec tuple — swaps ResNet for any
+    # SWAPPABLE_BACKBONES entry (configs/swin, configs/regnet, ...)
+    backbone_spec: Any = None
 
     @nn.compact
     def __call__(self, images, return_feats: bool = False):
-        backbone_cls = nn.remat(ResNet) if self.remat else ResNet
-        feats = backbone_cls(
-            depth=self.depth, compute_dtype=self.compute_dtype,
-            frozen_stages=self.frozen_stages,
-            dcn_stages=self.dcn_stages,
-            context_block_stages=self.context_block_stages,
-            context_block_ratio=self.context_block_ratio,
-            gen_attention_stages=self.gen_attention_stages,
-            name='backbone')(images)
+        if self.backbone_spec is not None:
+            feats = build_swappable_backbone(
+                dict(self.backbone_spec), self.compute_dtype,
+                name='backbone')(images)
+        else:
+            backbone_cls = nn.remat(ResNet) if self.remat else ResNet
+            feats = backbone_cls(
+                depth=self.depth, compute_dtype=self.compute_dtype,
+                frozen_stages=self.frozen_stages,
+                dcn_stages=self.dcn_stages,
+                context_block_stages=self.context_block_stages,
+                context_block_ratio=self.context_block_ratio,
+                gen_attention_stages=self.gen_attention_stages,
+                name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
                     start_level=1, add_extra_convs='on_output', num_outs=5,
@@ -91,6 +101,7 @@ class GFLDetector:
     context_block_ratio: float = 0.25
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
     frozen_stages: int = 1
+    backbone: Any = None  # dict spec, e.g. {'type': 'SwinTransformer'}
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
@@ -104,7 +115,9 @@ class GFLDetector:
                           context_block_stages=self.context_block_stages,
                           context_block_ratio=self.context_block_ratio,
                           gen_attention_stages=self.gen_attention_stages,
-                          frozen_stages=self.frozen_stages)
+                          frozen_stages=self.frozen_stages,
+                          backbone_spec=backbone_spec_to_static(
+                              self.backbone) if self.backbone else None)
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         if self.preprocessor.compute_dtype != self.compute_dtype:
             self.preprocessor = replace(self.preprocessor,

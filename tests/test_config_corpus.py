@@ -63,6 +63,9 @@ def test_config_model_abstract_init(path):
     cfg = Config.fromfile(path)
     det = build_detector(cfg.model)
     shape = _SHAPES.get(cfg.model.get('type', 'GFL'), (64, 96))
+    if cfg.model.get('backbone', {}).get('type') == 'SwinTransformer':
+        # window partitioning needs dims divisible by 4 * window * 2
+        shape = (224, 224)
     shapes = jax.eval_shape(
         lambda rng: det.init(rng, image_shape=shape),
         jax.random.PRNGKey(0))
