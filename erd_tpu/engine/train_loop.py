@@ -68,6 +68,23 @@ class Trainer:
         self.loader = train_loader
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        # De-trap ERDConfig.num_devices: the DDP-equivalent 1/num_devices
+        # scaling of the per-image distill-loss sums (gfl_erd.py:216-218)
+        # must match the mesh the trainer actually runs on — a detector
+        # built with the default num_devices=1 and then trained on an
+        # 8-device mesh would silently overweight the distill terms 8x.
+        # The trainer is the one place that knows the mesh, so it derives
+        # the width and rebuilds the config; no entry point can mis-scale.
+        erd_cfg = getattr(self.det, 'erd', None)
+        if erd_cfg is not None and hasattr(erd_cfg, 'num_devices'):
+            n_data = int(np.prod(list(self.mesh.shape.values())))
+            if erd_cfg.num_devices != n_data:
+                log.info('deriving ERD num_devices=%d from the mesh '
+                         '(detector was built with %d)', n_data,
+                         erd_cfg.num_devices)
+                self.det = dataclasses.replace(
+                    self.det,
+                    erd=dataclasses.replace(erd_cfg, num_devices=n_data))
         self.teacher_variables = teacher_variables
         self.val_fn = val_fn
         self.hooks = hooks if hooks is not None else [
