@@ -52,6 +52,16 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     for k in ('context_block_stages', 'gen_attention_stages'):
         if model_cfg.get(k):
             base[k] = tuple(model_cfg[k])
+    if model_cfg.get('neck'):
+        # neck swap (configs/pafpn, dyhead, fpg, nas_fpn, carafe, ...) —
+        # supported by the GFL/LD/ERD, RetinaNet, ATSS and Faster/Mask
+        # R-CNN assemblies; dict or list-of-dicts (chained) spec
+        assert mtype in ('GFL', 'LD', 'GFLIncrementERD', 'RetinaNet',
+                         'ATSS', 'FasterRCNN', 'MaskRCNN'), \
+            f'neck swap not supported for detector type {mtype}'
+        spec = model_cfg['neck']
+        base['neck'] = [dict(s) for s in spec] \
+            if isinstance(spec, (list, tuple)) else dict(spec)
     if model_cfg.get('context_block_ratio'):
         base['context_block_ratio'] = float(
             model_cfg['context_block_ratio'])
@@ -361,6 +371,15 @@ def build_dataset(cfg: Config, loader_cfg: Config,
                                    ds_cfg.get('sub_data_root', '')),
             split=ds_cfg.get('split', 'trainval'),
             year=str(ds_cfg.get('year', '2007')), **common)
+    if dtype == 'WIDERFaceDataset':
+        from ..data.extra_datasets import WIDERFaceDataset
+        return WIDERFaceDataset(
+            data_root=os.path.join(data_root,
+                                   ds_cfg.get('sub_data_root', '')),
+            split_file=ds_cfg.get('split_file', 'train.txt'),
+            img_prefix=os.path.join(data_root, ds_cfg['img_prefix'])
+            if ds_cfg.get('img_prefix') else '',
+            min_size=ds_cfg.get('min_size'), test_mode=test_mode)
     coco_kwargs = dict(
         ann_file=os.path.join(data_root, ds_cfg.ann_file),
         img_prefix=os.path.join(data_root, ds_cfg.get('img_prefix', '')),
@@ -372,6 +391,30 @@ def build_dataset(cfg: Config, loader_cfg: Config,
                  'CityscapesDataset', 'DeepFashionDataset'):
         from ..data import extra_datasets
         return getattr(extra_datasets, dtype)(**coco_kwargs)
+    if dtype == 'CrowdHumanDataset':
+        from ..data.extra_datasets import CrowdHumanDataset
+        kw = dict(ann_file=coco_kwargs['ann_file'],
+                  img_prefix=coco_kwargs['img_prefix'],
+                  filter_empty_gt=common['filter_empty_gt'],
+                  test_mode=test_mode)
+        if ds_cfg.get('extra_ann_file'):
+            kw['extra_ann_file'] = os.path.join(data_root,
+                                                ds_cfg['extra_ann_file'])
+        if ds_cfg.get('default_hw'):
+            kw['default_hw'] = tuple(ds_cfg['default_hw'])
+        return CrowdHumanDataset(**kw)
+    if dtype == 'OpenImagesDataset':
+        from ..data.openimages import OpenImagesDataset
+        kw = dict(ann_file=coco_kwargs['ann_file'],
+                  img_prefix=coco_kwargs['img_prefix'],
+                  label_file=os.path.join(data_root, ds_cfg['label_file']),
+                  test_mode=test_mode)
+        for opt in ('hierarchy_file', 'meta_file', 'image_level_ann_file'):
+            if ds_cfg.get(opt):
+                kw[opt] = os.path.join(data_root, ds_cfg[opt])
+        if ds_cfg.get('default_hw'):
+            kw['default_hw'] = tuple(ds_cfg['default_hw'])
+        return OpenImagesDataset(**kw)
     if dtype == 'CocoPanopticDataset':
         from ..data.coco_panoptic import CocoPanopticDataset
         return CocoPanopticDataset(

@@ -23,15 +23,21 @@ class ATSSNet(nn.Module):
     num_classes: int
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    # static neck spec (configs/dyhead: FPN -> DyHead chain)
+    neck_spec: Any = None
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
                        name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
-        feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
-                    add_extra_convs='on_output', num_outs=5,
-                    name='neck')(feats)
+        if self.neck_spec is not None:
+            from ..necks import NeckChain
+            feats = NeckChain(spec=self.neck_spec, name='neck')(feats)
+        else:
+            feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
+                        add_extra_convs='on_output', num_outs=5,
+                        name='neck')(feats)
         return ATSSHeadNet(num_classes=self.num_classes,
                            name='bbox_head')(feats)
 
@@ -41,14 +47,18 @@ class ATSSDetector:
     num_classes: int = 80
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    neck: Any = None  # dict or [dict] spec, e.g. [FPN, DyHead]
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
     test_cfg: GFLTestConfig = field(default_factory=GFLTestConfig)
 
     def __post_init__(self):
+        from ..necks import neck_spec_to_static
         self.net = ATSSNet(num_classes=self.num_classes, depth=self.depth,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           neck_spec=neck_spec_to_static(self.neck)
+                           if self.neck else None)
         self.coder = DeltaXYWHBBoxCoder(target_stds=(0.1, 0.1, 0.2, 0.2))
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         self.loss_jit = jax.jit(self.loss)

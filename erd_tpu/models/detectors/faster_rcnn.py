@@ -41,6 +41,9 @@ class FasterRCNNNet(nn.Module):
     # SWAPPABLE_BACKBONES entry
     backbone_spec: Any = None
     backbone_channels: Tuple[int, ...] = ()
+    # static neck spec tuple — swaps the default FPN for any
+    # SWAPPABLE_NECKS chain (configs/pafpn, configs/fpg, configs/carafe)
+    neck_spec: Any = None
 
     def setup(self):
         if self.backbone_spec is not None:
@@ -55,8 +58,12 @@ class FasterRCNNNet(nn.Module):
             in_ch = {18: (64, 128, 256, 512),
                      34: (64, 128, 256, 512)}.get(
                 self.depth, (256, 512, 1024, 2048))
-        self.neck = FPN(in_channels=in_ch, out_channels=256, start_level=0,
-                        add_extra_convs='', num_outs=5)
+        if self.neck_spec is not None:
+            from ..necks import NeckChain
+            self.neck = NeckChain(spec=self.neck_spec)
+        else:
+            self.neck = FPN(in_channels=in_ch, out_channels=256,
+                            start_level=0, add_extra_convs='', num_outs=5)
         self.rpn_head = RPNHeadNet()
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes)
 
@@ -85,6 +92,7 @@ class FasterRCNNDetector:
     depth: int = 50
     compute_dtype: Any = jnp.float32
     backbone: Any = None  # dict spec, e.g. {'type': 'SwinTransformer'}
+    neck: Any = None  # dict or [dict] spec, e.g. {'type': 'PAFPN', ...}
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     rpn_train_cfg: RPNTrainConfig = field(default_factory=RPNTrainConfig)
     rcnn_train_cfg: RCNNTrainConfig = field(default_factory=RCNNTrainConfig)
@@ -98,14 +106,18 @@ class FasterRCNNDetector:
         default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
 
     def _backbone_net_kwargs(self):
-        if not self.backbone:
-            return {}
-        from ..backbones import (backbone_out_channels,
-                                 backbone_spec_to_static)
-        return dict(
-            backbone_spec=backbone_spec_to_static(self.backbone),
-            backbone_channels=backbone_out_channels(self.backbone,
-                                                    self.compute_dtype))
+        kw = {}
+        if self.backbone:
+            from ..backbones import (backbone_out_channels,
+                                     backbone_spec_to_static)
+            kw.update(
+                backbone_spec=backbone_spec_to_static(self.backbone),
+                backbone_channels=backbone_out_channels(self.backbone,
+                                                        self.compute_dtype))
+        if self.neck:
+            from ..necks import neck_spec_to_static
+            kw['neck_spec'] = neck_spec_to_static(self.neck)
+        return kw
 
     def __post_init__(self):
         self.net = FasterRCNNNet(num_classes=self.num_classes,

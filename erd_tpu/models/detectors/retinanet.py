@@ -28,15 +28,30 @@ class RetinaNetNet(nn.Module):
     num_classes: int
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    # swaps (configs/efficientnet, configs/nas_fpn): static backbone and
+    # neck spec tuples, mirroring GFLNet's swap fields
+    backbone_spec: Any = None
+    neck_spec: Any = None
 
     @nn.compact
     def __call__(self, images):
-        feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
-                       name='backbone')(images)
+        if self.backbone_spec is not None:
+            from ..backbones import build_swappable_backbone
+            feats = build_swappable_backbone(
+                dict(self.backbone_spec), self.compute_dtype,
+                name='backbone')(images)
+        else:
+            feats = ResNet(depth=self.depth,
+                           compute_dtype=self.compute_dtype,
+                           name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
-        feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
-                    add_extra_convs='on_input', num_outs=5,
-                    name='neck')(feats)
+        if self.neck_spec is not None:
+            from ..necks import NeckChain
+            feats = NeckChain(spec=self.neck_spec, name='neck')(feats)
+        else:
+            feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
+                        add_extra_convs='on_input', num_outs=5,
+                        name='neck')(feats)
         return RetinaHeadNet(num_classes=self.num_classes,
                              name='bbox_head')(feats)
 
@@ -46,15 +61,24 @@ class RetinaNetDetector:
     num_classes: int = 80
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    backbone: Any = None  # dict spec, e.g. {'type': 'EfficientNet'}
+    neck: Any = None  # dict or [dict] spec, e.g. {'type': 'NASFPN'}
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     train_cfg: RetinaTrainConfig = field(default_factory=RetinaTrainConfig)
     test_cfg: GFLTestConfig = field(
         default_factory=lambda: GFLTestConfig(iou_threshold=0.5))
 
     def __post_init__(self):
+        from ..backbones import backbone_spec_to_static
+        from ..necks import neck_spec_to_static
         self.net = RetinaNetNet(num_classes=self.num_classes,
                                 depth=self.depth,
-                                compute_dtype=self.compute_dtype)
+                                compute_dtype=self.compute_dtype,
+                                backbone_spec=backbone_spec_to_static(
+                                    self.backbone)
+                                if self.backbone else None,
+                                neck_spec=neck_spec_to_static(self.neck)
+                                if self.neck else None)
         self.anchor_generator = retina_anchor_generator()
         self.coder = DeltaXYWHBBoxCoder()
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}

@@ -26,6 +26,7 @@ from ..backbones.resnet import ResNet
 from ..heads.gfl_head import (AnchorContext, GFLHeadNet, GFLTestConfig,
                               GFLTrainConfig, flatten_levels, gfl_loss,
                               gfl_predict, gfl_targets)
+from ..necks import neck_spec_to_static
 from ..necks.fpn import FPN
 from ..preprocessor import Preprocessor
 
@@ -55,6 +56,9 @@ class GFLNet(nn.Module):
     # static (hashable) backbone spec tuple — swaps ResNet for any
     # SWAPPABLE_BACKBONES entry (configs/swin, configs/regnet, ...)
     backbone_spec: Any = None
+    # static neck spec tuple — swaps the default FPN for any
+    # SWAPPABLE_NECKS chain (configs/pafpn, configs/dyhead, ...)
+    neck_spec: Any = None
 
     @nn.compact
     def __call__(self, images, return_feats: bool = False):
@@ -73,9 +77,13 @@ class GFLNet(nn.Module):
                 gen_attention_stages=self.gen_attention_stages,
                 name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
-        feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
-                    start_level=1, add_extra_convs='on_output', num_outs=5,
-                    name='neck')(feats)
+        if self.neck_spec is not None:
+            from ..necks import NeckChain
+            feats = NeckChain(spec=self.neck_spec, name='neck')(feats)
+        else:
+            feats = FPN(in_channels=in_ch, out_channels=self.neck_out,
+                        start_level=1, add_extra_convs='on_output',
+                        num_outs=5, name='neck')(feats)
         if return_feats:
             # extract_feat mode (single_stage.py:136-149): FPN pyramid only,
             # used by the replay/exemplar scoring helpers.
@@ -102,6 +110,7 @@ class GFLDetector:
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
     frozen_stages: int = 1
     backbone: Any = None  # dict spec, e.g. {'type': 'SwinTransformer'}
+    neck: Any = None  # dict or [dict] spec, e.g. {'type': 'PAFPN', ...}
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     anchor_generator: AnchorGenerator = field(default_factory=AnchorGenerator)
     train_cfg: GFLTrainConfig = field(default_factory=GFLTrainConfig)
@@ -117,7 +126,9 @@ class GFLDetector:
                           gen_attention_stages=self.gen_attention_stages,
                           frozen_stages=self.frozen_stages,
                           backbone_spec=backbone_spec_to_static(
-                              self.backbone) if self.backbone else None)
+                              self.backbone) if self.backbone else None,
+                          neck_spec=neck_spec_to_static(self.neck)
+                          if self.neck else None)
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
         if self.preprocessor.compute_dtype != self.compute_dtype:
             self.preprocessor = replace(self.preprocessor,

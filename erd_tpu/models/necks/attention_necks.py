@@ -146,12 +146,23 @@ class _MergeOut(nn.Module):
 
 def _to_size(x, hw):
     h, w = x.shape[1:3]
-    if (h, w) == tuple(hw):
+    th, tw = hw
+    if (h, w) == (th, tw):
         return x
-    if h >= hw[0]:
-        k = h // hw[0]
-        return nn.max_pool(x, (k, k), strides=(k, k))
-    return nearest_upsample_to(x, hw)
+    if h >= th and w >= tw:
+        # adaptive max pool: replicate-pad up to an exact multiple so odd
+        # sizes (e.g. 3 -> 2) keep every target cell populated — floor
+        # pooling would drop a row/col and desync from the anchor grid
+        kh, kw = -(-h // th), -(-w // tw)
+        ph, pw = kh * th - h, kw * tw - w
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode='edge')
+        return nn.max_pool(x, (kh, kw), strides=(kh, kw))
+    if h <= th and w <= tw:
+        return nearest_upsample_to(x, hw)
+    # mixed up/down (degenerate tiny pyramids only)
+    return jax.image.resize(x, x.shape[:1] + (th, tw) + x.shape[3:],
+                            method='nearest')
 
 
 class NASFPN(nn.Module):
