@@ -101,7 +101,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                 num_devices=num_devices),
             **gfl_common)
     if mtype == 'RetinaNet':
-        return RetinaNetDetector(test_cfg=test_cfg, **base)
+        return RetinaNetDetector(
+            sepbn=model_cfg.get('head', '') == 'RetinaSepBNHead',
+            test_cfg=test_cfg, **base)
     if mtype == 'FCOS':
         return FCOSDetector(test_cfg=test_cfg, **base)
     if mtype == 'ATSS':
@@ -433,7 +435,8 @@ def build_strong_aug(spec, dataset):
     for item in spec:
         item = dict(item)
         cls = getattr(sa, item.pop('type'))
-        for key in ('img_scale', 'ratio_range', 'center_ratio_range',
+        for key in ('img_scale', 'scale', 'ratio_range',
+                    'center_ratio_range',
                     'scaling_ratio_range', 'border', 'crop_size',
                     'contrast_range', 'saturation_range', 'min_ious',
                     'mean', 'border_val'):

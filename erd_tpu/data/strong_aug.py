@@ -314,6 +314,27 @@ class RandomAffine:
 # RandomCrop (transforms.py:602)
 # ---------------------------------------------------------------------------
 @dataclass
+class RandomRatioResize:
+    """Keep-ratio resize to ``scale`` jittered by a uniformly drawn ratio —
+    the reference's RandomResize(scale, ratio_range) (transforms.py
+    RandomResize), used by the NAS-FPN / simple-copy-paste crop recipes."""
+    scale: Tuple[int, int] = (640, 640)       # (w, h) reference order
+    ratio_range: Tuple[float, float] = (0.8, 1.2)
+
+    def __call__(self, s: Sample, rng: np.random.RandomState, sampler=None):
+        from .transforms import rescale_size, resize_image
+        ratio = rng.uniform(*self.ratio_range)
+        target = (int(self.scale[0] * ratio), int(self.scale[1] * ratio))
+        h, w = s.img.shape[:2]
+        nh, nw = rescale_size(h, w, target)
+        img = resize_image(s.img, (nh, nw))
+        b = s.boxes.copy()
+        b[:, 0::2] *= nw / w
+        b[:, 1::2] *= nh / h
+        return replace(s, img=img, boxes=b)
+
+
+@dataclass
 class RandomCrop:
     crop_size: Tuple[int, int] = (640, 640)   # (w, h) reference order
     crop_type: str = 'absolute'  # 'absolute' | 'relative' | *_range

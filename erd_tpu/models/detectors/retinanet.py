@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ..layers import cast_compute_params
 from ..backbones.resnet import ResNet
 from ..heads.gfl_head import AnchorContext, GFLTestConfig
-from ..heads.retina_head import (RetinaHeadNet, RetinaTrainConfig,
+from ..heads.retina_head import (RetinaHeadNet, RetinaSepBNHeadNet,
+                                 RetinaTrainConfig,
                                  retina_anchor_generator, retina_loss,
                                  retina_predict, retina_targets)
 from ..necks.fpn import FPN
@@ -32,9 +33,11 @@ class RetinaNetNet(nn.Module):
     # neck spec tuples, mirroring GFLNet's swap fields
     backbone_spec: Any = None
     neck_spec: Any = None
+    # RetinaSepBNHead (configs/nas_fpn): shared convs, per-level BN
+    sepbn: bool = False
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, train: bool = False):
         if self.backbone_spec is not None:
             from ..backbones import build_swappable_backbone
             feats = build_swappable_backbone(
@@ -52,6 +55,9 @@ class RetinaNetNet(nn.Module):
             feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
                         add_extra_convs='on_input', num_outs=5,
                         name='neck')(feats)
+        if self.sepbn:
+            return RetinaSepBNHeadNet(num_classes=self.num_classes,
+                                      name='bbox_head')(feats, train=train)
         return RetinaHeadNet(num_classes=self.num_classes,
                              name='bbox_head')(feats)
 
@@ -63,6 +69,7 @@ class RetinaNetDetector:
     compute_dtype: Any = jnp.float32
     backbone: Any = None  # dict spec, e.g. {'type': 'EfficientNet'}
     neck: Any = None  # dict or [dict] spec, e.g. {'type': 'NASFPN'}
+    sepbn: bool = False  # RetinaSepBNHead (configs/nas_fpn)
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     train_cfg: RetinaTrainConfig = field(default_factory=RetinaTrainConfig)
     test_cfg: GFLTestConfig = field(
@@ -78,7 +85,12 @@ class RetinaNetDetector:
                                     self.backbone)
                                 if self.backbone else None,
                                 neck_spec=neck_spec_to_static(self.neck)
-                                if self.neck else None)
+                                if self.neck else None,
+                                sepbn=self.sepbn)
+        if self.sepbn:
+            # expose the stateful-train protocol only when BN actually
+            # trains — the Trainer dispatches on hasattr(loss_and_state)
+            self.loss_and_state = self._loss_and_state
         self.anchor_generator = retina_anchor_generator()
         self.coder = DeltaXYWHBBoxCoder()
         self._ctx_cache: Dict[Tuple[int, int], AnchorContext] = {}
@@ -102,10 +114,9 @@ class RetinaNetDetector:
         return self.net.apply(
             cast_compute_params(variables, self.compute_dtype), self.preprocessor(images))
 
-    def loss(self, variables, batch):
+    def _loss_from_outputs(self, cls_lvl, reg_lvl, batch):
         images = batch['images']
         ctx = self.anchor_context(images.shape[1:3])
-        cls_lvl, reg_lvl = self.forward_raw(variables, images)
         b = images.shape[0]
         cls_flat = jnp.concatenate(
             [m.reshape(b, -1, self.num_classes) for m in cls_lvl],
@@ -117,6 +128,25 @@ class RetinaNetDetector:
             self.coder, self.train_cfg,
             num_base_anchors=self.anchor_generator.num_base_anchors)
         return retina_loss(cls_flat, reg_flat, targets, self.train_cfg)
+
+    def loss(self, variables, batch):
+        if self.sepbn:
+            return self._loss_and_state(variables, batch)[0]
+        cls_lvl, reg_lvl = self.forward_raw(variables, batch['images'])
+        return self._loss_from_outputs(cls_lvl, reg_lvl, batch)
+
+    def _loss_and_state(self, variables, batch, teacher_variables=None):
+        """Train-mode path for the sepbn head: per-level BN uses batch
+        statistics and returns updated running stats (the YOLOX
+        loss_and_state protocol the Trainer already understands)."""
+        (cls_lvl, reg_lvl), new_state = self.net.apply(
+            cast_compute_params(variables, self.compute_dtype),
+            self.preprocessor(batch['images']), train=True,
+            mutable=['batch_stats'])
+        losses = self._loss_from_outputs(cls_lvl, reg_lvl, batch)
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        consts['batch_stats'] = new_state['batch_stats']
+        return losses, consts
 
     def predict(self, variables, batch, rescale=True):
         images = batch['images']

@@ -85,6 +85,65 @@ class RetinaHeadNet(nn.Module):
         return cls_out, reg_out
 
 
+class RetinaSepBNHeadNet(nn.Module):
+    """RetinaHead with shared convs but per-level BatchNorm — the NAS-FPN
+    training recipe (retina_sepbn_head.py:44-84 + configs/nas_fpn/*: conv
+    weights tied across FPN levels, one BN per level, conv->BN->ReLU with
+    bias-free convs, trainable BN stats threaded via loss_and_state)."""
+    num_classes: int
+    num_base_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_levels: int = 5
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        convs_cls = [
+            nn.Conv(self.feat_channels, (3, 3), use_bias=False,
+                    padding=[torch_pad(3)] * 2,
+                    kernel_init=nn.initializers.normal(0.01),
+                    name=f'cls_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        convs_reg = [
+            nn.Conv(self.feat_channels, (3, 3), use_bias=False,
+                    padding=[torch_pad(3)] * 2,
+                    kernel_init=nn.initializers.normal(0.01),
+                    name=f'reg_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        bns_cls = [[nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name=f'cls_bn_l{lvl}_{i}')
+                    for i in range(self.stacked_convs)]
+                   for lvl in range(self.num_levels)]
+        bns_reg = [[nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name=f'reg_bn_l{lvl}_{i}')
+                    for i in range(self.stacked_convs)]
+                   for lvl in range(self.num_levels)]
+        retina_cls = nn.Conv(self.num_base_anchors * self.num_classes,
+                             (3, 3), padding=[torch_pad(3)] * 2,
+                             kernel_init=nn.initializers.normal(0.01),
+                             bias_init=bias_init_prob(0.01),
+                             name='retina_cls')
+        retina_reg = nn.Conv(self.num_base_anchors * 4, (3, 3),
+                             padding=[torch_pad(3)] * 2,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name='retina_reg')
+        assert len(feats) == self.num_levels
+        cls_out, reg_out = [], []
+        for lvl, x in enumerate(feats):
+            c = x
+            r = x
+            for i in range(self.stacked_convs):
+                c = nn.relu(bns_cls[lvl][i](convs_cls[i](c)))
+                r = nn.relu(bns_reg[lvl][i](convs_reg[i](r)))
+            cls_out.append(retina_cls(c))
+            reg_out.append(retina_reg(r).astype(jnp.float32))
+        return cls_out, reg_out
+
+
 @dataclass(frozen=True)
 class RetinaTrainConfig:
     pos_iou_thr: float = 0.5

@@ -41,6 +41,8 @@ def _build(name):
     factories = {
         'gfl': lambda: GFLDetector(num_classes=4, depth=18),
         'retinanet': lambda: RetinaNetDetector(num_classes=4, depth=18),
+        'retina_sepbn': lambda: RetinaNetDetector(num_classes=4, depth=18,
+                                                  sepbn=True),
         'tood': lambda: _imp('tood', 'TOODDetector')(num_classes=4,
                                                      depth=18),
         'vfnet': lambda: _imp('vfnet', 'VFNetDetector')(num_classes=4,
@@ -123,7 +125,8 @@ def _imp(mod, cls):
     return getattr(m, cls)
 
 
-FAMILIES = ['gfl', 'retinanet', 'tood', 'vfnet', 'centernet', 'paa',
+FAMILIES = ['gfl', 'retinanet', 'retina_sepbn', 'tood', 'vfnet',
+            'centernet', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
             'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
