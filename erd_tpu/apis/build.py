@@ -173,6 +173,11 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'GARPN':
         from ..models.detectors.ga_faster_rcnn import GARPNDetector
         return GARPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'GARetinaNet':
+        from ..models.detectors.ga_retinanet import GARetinaNetDetector
+        return GARetinaNetDetector(
+            loc_filter_thr=test.get('loc_filter_thr', 0.01),
+            test_cfg=test_cfg, **base)
     if mtype == 'QueryInst':
         from ..models.detectors.queryinst import QueryInstDetector
         return QueryInstDetector(
