@@ -318,6 +318,16 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
             pre_anchor_topk=train.get('pre_anchor_topk', 50),
             bbox_thr=train.get('bbox_thr', 0.6),
             test_cfg=test_cfg, **base)
+    if mtype == 'PISASSD':
+        from ..models.detectors.pisa_ssd import PISASSDDetector
+        base.pop('depth')
+        isr = train.get('isr', {})
+        carl = train.get('carl', {})
+        return PISASSDDetector(
+            input_size=model_cfg.get('input_size', 300),
+            isr_k=isr.get('k', 2.0), isr_bias=isr.get('bias', 0.0),
+            carl_k=carl.get('k', 1.0), carl_bias=carl.get('bias', 0.2),
+            test_cfg=test_cfg, **base)
     if mtype == 'PISARetinaNet':
         from ..models.detectors.pisa_retinanet import PISARetinaNetDetector
         return PISARetinaNetDetector(test_cfg=test_cfg, **base)

@@ -82,3 +82,37 @@ def test_ssd_predict(ssd):
     res = det.predict_jit(variables, batch)
     assert res.bboxes.shape == (2, 200, 4)
     assert res.mask.dtype == bool
+
+
+def test_pisa_ssd_identity_limits_match_plain_ssd():
+    """Analytic pin of the PISA composition (pisa_ssd_head.py:128-163):
+    with isr k=0, bias=0 the ISR weights are identically 1 so loss_cls
+    equals plain SSD's; with carl k=1, bias=1 the CARL scale is
+    identically 1 so loss_carl equals loss_bbox (both SmoothL1 beta=1
+    normalized by num_pos)."""
+    import jax
+    import numpy as np
+    from erd_tpu.models.detectors.pisa_ssd import PISASSDDetector
+    from erd_tpu.models.detectors.ssd import SSDDetector
+    from tests.test_models import make_batch
+
+    gts = [([[30, 30, 150, 150]], [1]),
+           ([[50, 50, 180, 200], [120, 40, 260, 180]], [0, 2])]
+    batch = make_batch(h=300, w=300, gts=gts)
+    pisa = PISASSDDetector(num_classes=4, isr_k=0.0, isr_bias=0.0,
+                           carl_k=1.0, carl_bias=1.0)
+    variables = pisa.init(jax.random.PRNGKey(0))
+    plain = SSDDetector(num_classes=4)
+    l_pisa = jax.jit(pisa.loss)(variables, batch)
+    l_plain = jax.jit(plain.loss)(variables, batch)
+    np.testing.assert_allclose(float(l_pisa['loss_cls']),
+                               float(l_plain['loss_cls']), rtol=1e-5)
+    np.testing.assert_allclose(float(l_pisa['loss_bbox']),
+                               float(l_plain['loss_bbox']), rtol=1e-5)
+    np.testing.assert_allclose(float(l_pisa['loss_carl']),
+                               float(l_pisa['loss_bbox']), rtol=1e-5)
+    # real PISA weights actually change the cls loss
+    pisa2 = PISASSDDetector(num_classes=4)  # k=2, bias=0
+    l2 = jax.jit(pisa2.loss)(variables, batch)
+    assert np.isfinite(float(l2['loss_cls']))
+    assert abs(float(l2['loss_carl']) - float(l2['loss_bbox'])) > 1e-8

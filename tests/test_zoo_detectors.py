@@ -108,6 +108,8 @@ def _build(name):
         'yolox': lambda: YOLOXDetector(num_classes=4),
         'rtmdet': lambda: RTMDetDetector(num_classes=4),
         'ssd': lambda: SSDDetector(num_classes=4),
+        'pisa_ssd': lambda: _imp('pisa_ssd', 'PISASSDDetector')(
+            num_classes=4),
         'detr': lambda: DETRDetector(num_classes=4, depth=18,
                                      num_queries=20),
         'deformable_detr': lambda: DeformableDETRDetector(
@@ -136,11 +138,12 @@ FAMILIES = ['gfl', 'retinanet', 'retina_sepbn', 'tood', 'vfnet',
             'nasfcos', 'crowddet', 'ga_faster', 'ga_retina',
             'double_head', 'cascade_rpn_faster', 'groie',
             'faster_rcnn',
-            'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd', 'detr',
+            'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd',
+            'pisa_ssd', 'detr',
             'deformable_detr', 'conditional_detr', 'dab_detr', 'dino']
 
 # SSD300 has a fixed 300x300 canvas (anchor table is input-locked)
-_SHAPES = {'ssd': (300, 300)}
+_SHAPES = {'ssd': (300, 300), 'pisa_ssd': (300, 300)}
 
 
 @pytest.fixture(scope='module', params=FAMILIES)
@@ -175,7 +178,7 @@ def test_empty_gt_invariant(det_and_vars):
     assert zero_keys and pos_keys, sorted(vals)
     for k in zero_keys:
         assert vals[k] == pytest.approx(0.0, abs=1e-6), (k, vals)
-    if name == 'ssd':
+    if name in ('ssd', 'pisa_ssd'):
         # SSD mines 3 x n_pos hard negatives (ssd_head.py loss_by_feat):
         # with no positives nothing is mined, so cls loss is 0 by design
         assert vals['loss_cls'] == pytest.approx(0.0, abs=1e-6)
@@ -189,7 +192,7 @@ def test_one_gt_engages_all_branches(det_and_vars):
     name, det, variables = det_and_vars
     gts = [([[10, 10, 60, 50]], [1]),
            ([[5, 5, 40, 40], [30, 10, 80, 60]], [0, 2])]
-    if name == 'ssd':  # boxes sized for the 300-canvas anchor table
+    if name in ('ssd', 'pisa_ssd'):  # boxes sized for the 300 canvas
         gts = [([[30, 30, 150, 150]], [1]),
                ([[50, 50, 180, 200], [120, 40, 260, 180]], [0, 2])]
     losses = det.loss_jit(variables, _batch_for(name, gts=gts))
