@@ -255,6 +255,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return TOODDetector(
             initial_epochs=train.get('initial_epoch', 4),
             test_cfg=test_cfg, **base)
+    if mtype == 'CenterNetUpdate':
+        from ..models.detectors.centernet_update import (
+            CenterNetUpdateDetector)
+        return CenterNetUpdateDetector(test_cfg=test_cfg, **base)
     if mtype == 'CenterNet':
         from ..models.detectors.centernet import CenterNetDetector
         return CenterNetDetector(

@@ -49,6 +49,9 @@ def _build(name):
                                                         depth=18),
         'centernet': lambda: _imp('centernet', 'CenterNetDetector')(
             num_classes=4, depth=18),
+        'centernet_update': lambda: _imp(
+            'centernet_update', 'CenterNetUpdateDetector')(num_classes=4,
+                                                           depth=18),
         'paa': lambda: _imp('paa', 'PAADetector')(num_classes=4,
                                                   depth=18),
         'fcos': lambda: FCOSDetector(num_classes=4, depth=18),
@@ -131,7 +134,7 @@ def _imp(mod, cls):
 
 
 FAMILIES = ['gfl', 'retinanet', 'retina_sepbn', 'tood', 'vfnet',
-            'centernet', 'paa',
+            'centernet', 'centernet_update', 'paa',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
             'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
