@@ -101,8 +101,15 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                 num_devices=num_devices),
             **gfl_common)
     if mtype == 'RetinaNet':
+        from ..models.heads.retina_head import RetinaTrainConfig
+        rtc = {}
+        for k in ('loss_type', 'ghm_c_bins', 'ghm_r_bins', 'ghm_mu',
+                  'cls_weight', 'bbox_weight'):
+            if k in train:
+                rtc[k] = train[k]
         return RetinaNetDetector(
             sepbn=model_cfg.get('head', '') == 'RetinaSepBNHead',
+            train_cfg=RetinaTrainConfig(**rtc),
             test_cfg=test_cfg, **base)
     if mtype == 'FCOS':
         return FCOSDetector(test_cfg=test_cfg, **base)

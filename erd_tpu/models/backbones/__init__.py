@@ -23,18 +23,23 @@ __all__ = [
 
 # ---------------------------------------------------------------------------
 # Backbone swapping (configs with backbone=dict(type=..., ...); the
-# registry-free analogue of mmdet's MODELS.build for backbones). Only
-# state-free multi-scale backbones qualify: uniform __call__(images) ->
-# tuple of C2..C5-style features, FrozenBN/LN statistics (EfficientNet's
-# train-time BatchNorm and single-scale/stage-special backbones are
-# assembled by their dedicated detector families instead).
+# registry-free analogue of mmdet's MODELS.build for backbones). Most are
+# state-free multi-scale backbones: uniform __call__(images) -> tuple of
+# C2..C5-style features, FrozenBN/LN statistics. EfficientNet is the one
+# stateful-BN entry: hosts that support the loss_and_state (mutable
+# batch_stats) protocol pass train=True through (configs/efficientnet
+# pairs it with RetinaSepBNHead, which already runs that protocol);
+# elsewhere its BN running stats stay frozen, matching FrozenBN hosts.
 # ---------------------------------------------------------------------------
 SWAPPABLE_BACKBONES = {
     'ResNet': ResNet, 'ResNeXt': ResNeXt, 'Res2Net': Res2Net,
     'ResNeSt': ResNeSt, 'RegNet': RegNet, 'HRNet': HRNet,
     'PVTv2': PVTv2, 'ConvNeXt': ConvNeXt,
-    'SwinTransformer': SwinTransformer,
+    'SwinTransformer': SwinTransformer, 'EfficientNet': EfficientNet,
 }
+
+#: backbones whose __call__ takes a train flag (train-time BatchNorm)
+STATEFUL_BACKBONES = ('EfficientNet',)
 
 
 def backbone_spec_to_static(spec):
@@ -68,5 +73,6 @@ def backbone_out_channels(spec, compute_dtype, probe=224):
     return tuple(int(o.shape[-1]) for o in outs)
 
 
-__all__ += ['SWAPPABLE_BACKBONES', 'backbone_spec_to_static',
-            'build_swappable_backbone', 'backbone_out_channels']
+__all__ += ['SWAPPABLE_BACKBONES', 'STATEFUL_BACKBONES',
+            'backbone_spec_to_static', 'build_swappable_backbone',
+            'backbone_out_channels']

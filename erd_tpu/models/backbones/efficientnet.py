@@ -83,9 +83,11 @@ class MBConv(nn.Module):
 class EfficientNet(nn.Module):
     arch: str = 'b0'
     out_indices: Tuple[int, ...] = (2, 3, 4, 5)
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.compute_dtype)
         wm, dm = SCALINGS[self.arch]
         x = _ConvBNSwish(round_ch(32, wm), 3, 2, name='stem')(x, train)
         outs = []

@@ -39,10 +39,14 @@ class RetinaNetNet(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         if self.backbone_spec is not None:
-            from ..backbones import build_swappable_backbone
-            feats = build_swappable_backbone(
+            from ..backbones import (STATEFUL_BACKBONES,
+                                     build_swappable_backbone)
+            bb = build_swappable_backbone(
                 dict(self.backbone_spec), self.compute_dtype,
-                name='backbone')(images)
+                name='backbone')
+            spec_type = dict(self.backbone_spec).get('type')
+            feats = bb(images, train=train) \
+                if spec_type in STATEFUL_BACKBONES else bb(images)
         else:
             feats = ResNet(depth=self.depth,
                            compute_dtype=self.compute_dtype,

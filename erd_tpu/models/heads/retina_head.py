@@ -154,6 +154,13 @@ class RetinaTrainConfig:
     cls_weight: float = 1.0
     bbox_weight: float = 1.0
     pad_divisor: int = 32
+    # 'focal' (FocalLoss/L1, retinanet_r50_fpn_1x) or 'ghm'
+    # (GHM-C/GHM-R, reference configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py:
+    # GHMC bins=30, GHMR mu=0.02 bins=10 loss_weight=10)
+    loss_type: str = 'focal'
+    ghm_c_bins: int = 30
+    ghm_r_bins: int = 10
+    ghm_mu: float = 0.02
 
 
 @flax.struct.dataclass
@@ -198,6 +205,24 @@ def retina_loss(cls_scores, bbox_preds, targets: RetinaTargets,
     """cls_scores (B, N, C) logits; bbox_preds (B, N, 4) deltas."""
     b, n, c = cls_scores.shape
     avg = jnp.maximum(targets.num_pos, 1.0)
+    if cfg.loss_type == 'ghm':
+        # GHM-C/GHM-R protocol (reference ghm_loss.py): one-hot targets
+        # over ALL valid anchors, both losses normalized by the valid
+        # count inside the ghm_* reductions (not by num_pos)
+        from ...losses import ghm_c_loss, ghm_r_loss
+        labels = targets.labels.reshape(-1)
+        onehot = jax.nn.one_hot(labels, c, dtype=cls_scores.dtype)
+        lw = jnp.broadcast_to(targets.label_weights.reshape(-1)[:, None],
+                              (b * n, c))
+        loss_cls = cfg.cls_weight * ghm_c_loss(
+            cls_scores.reshape(-1, c), onehot, lw, bins=cfg.ghm_c_bins)
+        wb = (targets.pos_mask.astype(jnp.float32) *
+              targets.label_weights)[..., None]
+        loss_bbox = cfg.bbox_weight * ghm_r_loss(
+            bbox_preds.reshape(-1, 4), targets.bbox_targets.reshape(-1, 4),
+            jnp.broadcast_to(wb, bbox_preds.shape).reshape(-1, 4),
+            mu=cfg.ghm_mu, bins=cfg.ghm_r_bins)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
     loss_cls = cfg.cls_weight * sigmoid_focal_loss(
         cls_scores.reshape(-1, c), targets.labels.reshape(-1),
         weight=targets.label_weights.reshape(-1), gamma=cfg.focal_gamma,
