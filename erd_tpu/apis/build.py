@@ -180,6 +180,13 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'GARPN':
         from ..models.detectors.ga_faster_rcnn import GARPNDetector
         return GARPNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'SABLRetinaNet':
+        from ..models.detectors.sabl_retinanet import SABLRetinaNetDetector
+        return SABLRetinaNetDetector(
+            num_buckets=model_cfg.get('num_buckets', 14),
+            scale_factor=model_cfg.get('bucket_scale_factor', 3.0),
+            use_gn=model_cfg.get('head_norm', '') == 'GN',
+            test_cfg=test_cfg, **base)
     if mtype == 'GARetinaNet':
         from ..models.detectors.ga_retinanet import GARetinaNetDetector
         return GARetinaNetDetector(
@@ -248,6 +255,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'RTMDet':
         base.pop('depth')
         return RTMDetDetector(test_cfg=test_cfg, **base)
+    if mtype == 'RTMDetIns':
+        from ..models.detectors.rtmdet_ins import RTMDetInsDetector
+        base.pop('depth')
+        return RTMDetInsDetector(
+            mask_thr_binary=test.get('mask_thr_binary', 0.5),
+            test_cfg=test_cfg, **base)
     if mtype == 'DeformableDETR':
         return DeformableDETRDetector(
             num_queries=model_cfg.get('num_queries', 300),

@@ -324,7 +324,8 @@ class CondInstDetector:
                 lambda g: paste_crop(gt_crops[g], gt_b[g], fh * 2, fw * 2,
                                      4))(sel_g)
             d = dice_loss(jax.nn.sigmoid(logits).reshape(k, -1),
-                          tgt.reshape(k, -1), reduction='none')
+                          tgt.reshape(k, -1), activate=False,
+                          reduction='none')
             w = sel_valid & gt_m[sel_g]
             return (d * w).sum(), w.sum().astype(jnp.float32)
 

@@ -138,15 +138,12 @@ class RTMDetHeadNet(nn.Module):
         return outs_cls, outs_reg
 
 
-class RTMDetNet(nn.Module):
-    num_classes: int
-    compute_dtype: Any = jnp.float32
+class CSPNeXtPAFPN(nn.Module):
+    """CSP-PAFPN neck over (c3, c4, c5), projected to a common width
+    (c3's channel count). Shared by RTMDet and RTMDet-Ins."""
 
     @nn.compact
-    def __call__(self, images, train: bool = False):
-        feats = CSPNeXt(compute_dtype=self.compute_dtype,
-                        name='backbone')(images, train)
-        # CSP-PAFPN-style neck (reuse YOLOX's structure via CSPNeXt convs)
+    def __call__(self, feats, train: bool = False):
         c3, c4, c5 = feats
         p5 = ConvBNSiLU(c4.shape[-1], 1, name='reduce1')(c5, train)
         u = nearest_upsample_to(p5, c4.shape[-3:-1])
@@ -166,12 +163,22 @@ class RTMDetNet(nn.Module):
         n5 = CSPNeXtLayer(c5.shape[-1], 1, shortcut=False,
                           name='bu_csp2')(jnp.concatenate([d4, p5], -1),
                                           train)
-        # project to a common head width
         width = c3.shape[-1]
-        levels = [ConvBNSiLU(width, 1, name=f'out_conv{i}')(f, train)
-                  for i, f in enumerate((p3, n4, n5))]
+        return [ConvBNSiLU(width, 1, name=f'out_conv{i}')(f, train)
+                for i, f in enumerate((p3, n4, n5))]
+
+
+class RTMDetNet(nn.Module):
+    num_classes: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        feats = CSPNeXt(compute_dtype=self.compute_dtype,
+                        name='backbone')(images, train)
+        levels = CSPNeXtPAFPN(name='neck')(feats, train)
         return RTMDetHeadNet(num_classes=self.num_classes,
-                             feat_channels=width,
+                             feat_channels=levels[0].shape[-1],
                              name='bbox_head')(levels, train)
 
 

@@ -109,10 +109,17 @@ def bucket_decode(proposals, cls_preds, offset_preds, num_buckets=14,
     boxes = jnp.stack([sides[:, 0], sides[:, 2], sides[:, 1],
                        sides[:, 3]], axis=-1)
     if max_shape is not None:
+        # reference bucket2bbox clamps to max_shape - 1 (:351-355)
         h, w = max_shape[0], max_shape[1]
-        boxes = jnp.clip(boxes, 0, jnp.stack([w, h, w, h])
+        boxes = jnp.clip(boxes, 0, jnp.stack([w - 1, h - 1, w - 1, h - 1])
                          .astype(boxes.dtype))
-    conf = top2[..., 0].mean(axis=-1)
+    # bucketing-guided rescoring (:359-363): add the runner-up bucket's
+    # score when it is the best bucket's immediate neighbor
+    conf = top2[..., 0]
+    if side > 1:
+        neighbor = (jnp.abs(idx2[..., 0] - idx2[..., 1]) == 1)
+        conf = conf + top2[..., 1] * neighbor.astype(conf.dtype)
+    conf = conf.mean(axis=-1)
     return boxes, conf
 
 

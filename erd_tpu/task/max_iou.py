@@ -15,8 +15,13 @@ from .atss import AssignResult
 
 def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_mask,
                    pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
-                   match_low_quality=True, valid_flags=None):
-    overlaps = bbox_overlaps(anchors, gt_bboxes)  # (N, G)
+                   match_low_quality=True, valid_flags=None, overlaps=None):
+    """``overlaps`` (N, G), when given, replaces the anchor-gt IoU matrix —
+    the ApproxMaxIoUAssigner protocol (approx_max_iou_assigner.py:126-141)
+    scores each square prior by the max IoU over its octave's approx
+    anchors and then runs the standard MaxIoU thresholding on that."""
+    if overlaps is None:
+        overlaps = bbox_overlaps(anchors, gt_bboxes)  # (N, G)
     overlaps = jnp.where(gt_mask[None, :], overlaps, -1.0)
     if valid_flags is not None:
         overlaps = jnp.where(valid_flags[:, None], overlaps, -1.0)

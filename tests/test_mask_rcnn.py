@@ -356,3 +356,37 @@ def test_boxinst_box_supervised_losses():
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, losses)
     assert float(losses['loss_project']) > 0
+
+
+def test_rtmdet_ins_loss_and_predict():
+    """RTMDet-Ins: dynamic-conv mask branch on DynamicSoftLabel positives
+    (rtmdet_ins_head.py)."""
+    from erd_tpu.models.detectors.rtmdet_ins import RTMDetInsDetector
+    det = RTMDetInsDetector(num_classes=3, max_masks_to_train=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    losses = det.loss_jit(variables, batch)
+    for k in ('loss_cls', 'loss_bbox', 'loss_mask'):
+        assert k in losses
+        assert np.isfinite(float(losses[k])), (k, losses)
+    assert float(losses['loss_mask']) > 0  # a positive exists
+    res, masks = det.predict_jit(variables, batch)
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+    assert masks.shape[2:] == (16, 24)  # stride-8 protos upsampled x2
+
+
+def test_rtmdet_ins_empty_gt_mask_loss_zero():
+    from erd_tpu.models.detectors.rtmdet_ins import RTMDetInsDetector
+    from tests.test_models import make_batch
+    det = RTMDetInsDetector(num_classes=3, max_masks_to_train=8)
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    batch = make_mask_batch()
+    empty = make_batch()
+    # graft the mask field so the batch has the same pytree structure
+    import jax.numpy as jnp2
+    empty['gt'] = empty['gt'].replace(masks=jnp2.zeros_like(
+        batch['gt'].masks))
+    losses = det.loss_jit(variables, empty)
+    assert float(losses['loss_mask']) == 0.0
+    assert float(losses['loss_bbox']) == 0.0
+    assert float(losses['loss_cls']) > 0

@@ -103,6 +103,9 @@ def _build(name):
         'ga_retina': lambda: _imp(
             'ga_retinanet', 'GARetinaNetDetector')(num_classes=4,
                                                    depth=18),
+        'sabl_retina': lambda: _imp(
+            'sabl_retinanet', 'SABLRetinaNetDetector')(num_classes=4,
+                                                       depth=18),
         'atss': lambda: ATSSDetector(num_classes=4, depth=18),
         'faster_rcnn': lambda: FasterRCNNDetector(num_classes=4, depth=18),
         'cascade_rcnn': lambda: CascadeRCNNDetector(num_classes=4,
@@ -138,7 +141,7 @@ FAMILIES = ['gfl', 'retinanet', 'retina_sepbn', 'tood', 'vfnet',
             'fcos', 'atss', 'fsaf', 'fovea', 'yolof', 'reppoints', 'ddod',
             'cornernet', 'libra_rcnn', 'sparse_rcnn', 'free_anchor',
             'autoassign', 'pisa_retinanet', 'dynamic_rcnn', 'grid_rcnn',
-            'nasfcos', 'crowddet', 'ga_faster', 'ga_retina',
+            'nasfcos', 'crowddet', 'ga_faster', 'ga_retina', 'sabl_retina',
             'double_head', 'cascade_rpn_faster', 'groie',
             'faster_rcnn',
             'cascade_rcnn', 'yolov3', 'yolox', 'rtmdet', 'ssd',
