@@ -118,6 +118,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'FasterRCNN':
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
+        if model_cfg.get('loss_cls') == 'seesaw':
+            # configs/seesaw_loss (reference SeesawLoss + NormedLinear
+            # cls predictor on the bbox head)
+            base.update(loss_cls='seesaw',
+                        seesaw_p=model_cfg.get('seesaw_p', 0.8),
+                        seesaw_q=model_cfg.get('seesaw_q', 2.0))
         return MaskRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'CentripetalNet':
         from ..models.detectors.centripetalnet import (

@@ -119,14 +119,17 @@ def seesaw_loss(pred, target, cum_samples, weight=None, p=0.8, q=2.0,
     onehot = jax.nn.one_hot(target, num_classes, dtype=pred.dtype)
 
     # mitigation factor: dampen negative gradients for rarer classes
-    ratio = cum_samples[None, :] / jnp.clip(cum_samples[:, None], 1, None)
+    # (reference seesaw_loss.py:53-55 clamps BOTH sides to min=1)
+    ratio = jnp.clip(cum_samples[None, :], 1, None) / \
+        jnp.clip(cum_samples[:, None], 1, None)
     sample_w = jnp.where(ratio < 1.0, jnp.power(ratio, p), 1.0)  # (C, C)
     mit = sample_w[target]  # (N, C)
 
     # compensation factor: boost for misclassified high-scoring negatives
-    scores = jax.nn.softmax(pred, axis=-1)
+    # (reference detaches the softmax and clamps the divisor to eps)
+    scores = jax.lax.stop_gradient(jax.nn.softmax(pred, axis=-1))
     self_scores = jnp.take_along_axis(scores, target[:, None], axis=1)
-    score_ratio = scores / jnp.clip(self_scores, 1e-12, None)
+    score_ratio = scores / jnp.clip(self_scores, eps, None)
     comp = jnp.where(score_ratio > 1.0, jnp.power(score_ratio, q), 1.0)
 
     seesaw = mit * comp

@@ -44,6 +44,10 @@ class FasterRCNNNet(nn.Module):
     # static neck spec tuple — swaps the default FPN for any
     # SWAPPABLE_NECKS chain (configs/pafpn, configs/fpg, configs/carafe)
     neck_spec: Any = None
+    # SeesawLoss custom classifier: C + 2 cls channels + NormedLinear
+    # predictor (configs/seesaw_loss cls_predictor_cfg); 0 = defaults
+    cls_channels: int = 0
+    normed_temp: float = 0.0
 
     def setup(self):
         if self.backbone_spec is not None:
@@ -65,7 +69,9 @@ class FasterRCNNNet(nn.Module):
             self.neck = FPN(in_channels=in_ch, out_channels=256,
                             start_level=0, add_extra_convs='', num_outs=5)
         self.rpn_head = RPNHeadNet()
-        self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes)
+        self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                           cls_channels=self.cls_channels,
+                                           normed_temp=self.normed_temp)
 
     def extract_feat(self, images):
         return self.neck(self.backbone(images))
@@ -93,6 +99,12 @@ class FasterRCNNDetector:
     compute_dtype: Any = jnp.float32
     backbone: Any = None  # dict spec, e.g. {'type': 'SwinTransformer'}
     neck: Any = None  # dict or [dict] spec, e.g. {'type': 'PAFPN', ...}
+    # bbox-head classification loss: 'ce' (default) or 'seesaw'
+    # (configs/seesaw_loss — MaskRCNN only; needs the cumulative
+    # per-class counter threaded through loss_and_state)
+    loss_cls: str = 'ce'
+    seesaw_p: float = 0.8
+    seesaw_q: float = 2.0
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     rpn_train_cfg: RPNTrainConfig = field(default_factory=RPNTrainConfig)
     rcnn_train_cfg: RCNNTrainConfig = field(default_factory=RCNNTrainConfig)
@@ -107,6 +119,9 @@ class FasterRCNNDetector:
 
     def _backbone_net_kwargs(self):
         kw = {}
+        if self.loss_cls == 'seesaw':
+            kw.update(cls_channels=self.num_classes + 2,
+                      normed_temp=20.0)
         if self.backbone:
             from ..backbones import (backbone_out_channels,
                                      backbone_spec_to_static)
@@ -205,6 +220,9 @@ class FasterRCNNDetector:
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi_feats.reshape(b * s, 7, 7, -1),
             method='roi_forward')
+        assert self.loss_cls == 'ce', \
+            'seesaw loss ships on MaskRCNN (the reference seesaw_loss ' \
+            'configs are mask-rcnn/cascade-mask-rcnn variants)'
         rcnn_losses, acc = rcnn_loss(cls_logits.astype(jnp.float32),
                                      reg_preds.astype(jnp.float32), samples,
                                      self.num_classes, self.rcnn_train_cfg)
@@ -233,7 +251,7 @@ class FasterRCNNDetector:
             ob, os_, ol, om = rcnn_predict_single(
                 cl, rg, rois, rmask, img_shape, scale_factor,
                 self.num_classes, self.rcnn_coder, self.test_cfg,
-                rescale=rescale)
+                rescale=rescale, seesaw=self.loss_cls == 'seesaw')
             return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
 
         return jax.vmap(single)(cls_logits, reg_preds, prop_boxes,

@@ -54,9 +54,31 @@ class MaskRCNNDetector(FasterRCNNDetector):
                                depth=self.depth,
                                compute_dtype=self.compute_dtype,
                                **self._backbone_net_kwargs())
+        if self.loss_cls == 'seesaw':
+            # Trainer detects mutable train state via hasattr
+            # (train_loop.py _step_impl) — only seesaw carries one (the
+            # cumulative per-class sample counter, a torch buffer in the
+            # reference SeesawLoss)
+            self.loss_and_state = self._seesaw_loss_and_state
+            self.loss_and_state_jit = jax.jit(self.loss_and_state)
         self.loss_jit = jax.jit(self.loss)
         self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
         self.forward_jit = jax.jit(self.forward_raw)
+
+    def init(self, rng, image_shape=(128, 128), batch_size=1):
+        variables = super().init(rng, image_shape, batch_size)
+        if self.loss_cls == 'seesaw':
+            variables = dict(
+                variables,
+                seesaw={'cum_samples': jnp.zeros(self.num_classes + 1,
+                                                 jnp.float32)})
+        return variables
+
+    def _seesaw_loss_and_state(self, variables, batch):
+        losses, new_cum = self._loss_impl(variables, batch)
+        consts = {k: v for k, v in variables.items() if k != 'params'}
+        consts['seesaw'] = {'cum_samples': new_cum}
+        return losses, consts
 
     def _roi_feats(self, variables, feats, rois, out_size=7):
         # signature must stay parent-compatible: FasterRCNNDetector.loss/
@@ -70,6 +92,9 @@ class MaskRCNNDetector(FasterRCNNDetector):
           rois)
 
     def loss(self, variables, batch):
+        return self._loss_impl(variables, batch)[0]
+
+    def _loss_impl(self, variables, batch):
         from ..heads.bbox_head import rcnn_sample_single
         from ..heads.rpn_head import rpn_loss, rpn_proposals
         images = batch['images']
@@ -106,9 +131,20 @@ class MaskRCNNDetector(FasterRCNNDetector):
         cls_logits, reg_preds = self.net.apply(
             cast_compute_params(variables, self.compute_dtype), roi7.reshape(b * s, 7, 7, -1),
             method=MaskRCNNNet.roi_forward)
-        rcnn_losses, _ = rcnn_loss(cls_logits.astype(jnp.float32),
-                                   reg_preds.astype(jnp.float32), samples,
-                                   self.num_classes, self.rcnn_train_cfg)
+        new_cum = None
+        if self.loss_cls == 'seesaw':
+            from ..heads.bbox_head import seesaw_rcnn_loss
+            rcnn_losses, new_cum = seesaw_rcnn_loss(
+                cls_logits.astype(jnp.float32),
+                reg_preds.astype(jnp.float32), samples, self.num_classes,
+                variables['seesaw']['cum_samples'],
+                p=self.seesaw_p, q=self.seesaw_q,
+                cfg=self.rcnn_train_cfg)
+        else:
+            rcnn_losses, _ = rcnn_loss(cls_logits.astype(jnp.float32),
+                                       reg_preds.astype(jnp.float32),
+                                       samples, self.num_classes,
+                                       self.rcnn_train_cfg)
         losses.update(rcnn_losses)
 
         # ---- mask branch on positive RoIs ----
@@ -132,7 +168,7 @@ class MaskRCNNDetector(FasterRCNNDetector):
             mask_logits, mask_targets.reshape(b * s, self.mask_size,
                                               self.mask_size),
             samples.labels.reshape(-1), samples.is_pos.reshape(-1))
-        return losses
+        return losses, new_cum
 
     def predict(self, variables, batch, rescale=True):
         res = super().predict(variables, batch, rescale=rescale)

@@ -29,16 +29,28 @@ class Shared2FCBBoxHead(nn.Module):
     num_classes: int
     fc_dim: int = 1024
     reg_class_agnostic: bool = False
+    # custom cls channels (SeesawLoss.get_cls_channels -> C + 2: C class
+    # logits + a 2-way fg/bg objectness split); 0 keeps the C+1 default
+    cls_channels: int = 0
+    # cls_predictor_cfg NormedLinear temperature (seesaw configs); 0 =
+    # plain Dense
+    normed_temp: float = 0.0
 
     @nn.compact
     def __call__(self, roi_feats):
-        """(R, 7, 7, C) -> (cls (R, C+1), reg (R, 4C or 4))."""
+        """(R, 7, 7, C) -> (cls (R, C+1 or cls_channels), reg (R, 4C or 4))."""
         x = roi_feats.reshape(roi_feats.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc0')(x))
         x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc1')(x))
-        cls = nn.Dense(self.num_classes + 1,
-                       kernel_init=nn.initializers.normal(0.01),
-                       name='fc_cls')(x)
+        n_cls = self.cls_channels or self.num_classes + 1
+        if self.normed_temp > 0:
+            from ..layers import NormedLinear
+            cls = NormedLinear(n_cls, temperature=self.normed_temp,
+                               name='fc_cls')(x)
+        else:
+            cls = nn.Dense(n_cls,
+                           kernel_init=nn.initializers.normal(0.01),
+                           name='fc_cls')(x)
         nreg = 4 if self.reg_class_agnostic else 4 * self.num_classes
         reg = nn.Dense(nreg, kernel_init=nn.initializers.normal(0.001),
                        name='fc_reg')(x)
@@ -121,12 +133,71 @@ def rcnn_loss(cls_logits, reg_preds, samples: RoISamples, num_classes,
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc
 
 
+def seesaw_rcnn_loss(cls_logits, reg_preds, samples: RoISamples,
+                     num_classes, cum_samples, p=0.8, q=2.0,
+                     cfg: RCNNTrainConfig = RCNNTrainConfig()):
+    """Seesaw cls loss for the bbox head (mmdet losses/seesaw_loss.py
+    SeesawLoss.forward, configs/seesaw_loss/*): cls logits are C + 2 —
+    C class scores trained with the seesaw CE over POSITIVE samples only,
+    plus a 2-way fg(0)/bg(1) objectness softmax over all samples; both
+    normalized by the valid RoI count like the plain CE path. The
+    per-class cumulative sample counter (a torch buffer in the reference)
+    is threaded functionally: returns ``new_cum_samples`` (C + 1,) for
+    the caller to carry in the train state. Reg branch = rcnn_loss's.
+    """
+    from ...losses import seesaw_loss
+    labels = samples.labels.reshape(-1)
+    valid = samples.valid.reshape(-1)
+    is_pos = samples.is_pos.reshape(-1)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+
+    # accumulate per-category counts (reference :246-249; padding rows
+    # excluded — torch has no padding)
+    counts = jax.nn.one_hot(labels, num_classes + 1,
+                            dtype=jnp.float32) * valid[:, None]
+    new_cum = cum_samples + counts.sum(0)
+
+    cls_scores = cls_logits[:, :num_classes]
+    obj_scores = cls_logits[:, num_classes:num_classes + 2]
+    pos = (labels < num_classes) & valid
+    safe_labels = jnp.clip(labels, 0, num_classes - 1)
+    loss_classes = cfg.cls_weight * seesaw_loss(
+        cls_scores, safe_labels, new_cum[:num_classes], weight=pos,
+        p=p, q=q, reduction='sum') / n_valid
+    obj_labels = (labels == num_classes).astype(jnp.int32)
+    obj_ce = cross_entropy_int(obj_scores, obj_labels)
+    loss_obj = cfg.cls_weight * (obj_ce * valid).sum() / n_valid
+
+    r = reg_preds.reshape(reg_preds.shape[0], -1, 4)
+    safe = jnp.clip(labels, 0, r.shape[1] - 1)
+    reg_at_label = jnp.take_along_axis(
+        r, safe[:, None, None].repeat(4, axis=2), axis=1)[:, 0]
+    l1 = jnp.abs(reg_at_label - samples.deltas.reshape(-1, 4)).sum(-1)
+    loss_bbox = cfg.bbox_weight * (l1 * is_pos).sum() / n_valid
+    return dict(loss_cls_classes=loss_classes,
+                loss_cls_objectness=loss_obj,
+                loss_bbox=loss_bbox), new_cum
+
+
+def seesaw_activation(cls_logits, num_classes):
+    """SeesawLoss.get_activation: (N, C+2) logits -> (N, C+1) scores
+    with class probs gated by the fg-objectness prob and bg appended."""
+    score_classes = jax.nn.softmax(cls_logits[..., :num_classes], axis=-1)
+    score_obj = jax.nn.softmax(cls_logits[..., num_classes:num_classes + 2],
+                               axis=-1)
+    return jnp.concatenate(
+        [score_classes * score_obj[..., :1], score_obj[..., 1:]], axis=-1)
+
+
 def rcnn_predict_single(cls_logits, reg_preds, rois, roi_mask, img_shape,
                         scale_factor, num_classes,
                         coder: DeltaXYWHBBoxCoder,
-                        cfg: GFLTestConfig, rescale=True):
+                        cfg: GFLTestConfig, rescale=True, seesaw=False):
     """Post-process one image's RoI head outputs into detections."""
-    scores = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]  # (R, C)
+    if seesaw:  # (R, C+2) logits -> objectness-gated class probs
+        scores = seesaw_activation(cls_logits, num_classes)[:, :num_classes]
+    else:
+        scores = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]
     r = reg_preds.reshape(reg_preds.shape[0], num_classes, 4)
     # decode every class column, then flatten (R*C) candidates
     boxes = coder.decode(rois[:, None, :], r, max_shape=img_shape)  # (R,C,4)

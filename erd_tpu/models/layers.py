@@ -187,3 +187,28 @@ class WSConv(nn.Module):
             y = y + self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
         return y.astype(x.dtype)
+
+
+class NormedLinear(nn.Module):
+    """Cosine classifier (mmdet layers/normed_predictor.py NormedLinear,
+    used by the seesaw_loss configs' cls_predictor_cfg): both the weight
+    rows and the input features are L2-normalized (raised to ``power``)
+    and the normalized input is scaled by ``temperature`` before the
+    affine map. (The reference spells the arg 'tempearture'.)"""
+    features: int
+    temperature: float = 20.0
+    power: float = 1.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('kernel', nn.initializers.normal(0.01),
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        x = x.astype(jnp.float32)
+        w = w / (jnp.power(jnp.linalg.norm(w, axis=0, keepdims=True),
+                           self.power) + self.eps)
+        x = x / (jnp.power(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                           self.power) + self.eps)
+        return x * self.temperature @ w + b

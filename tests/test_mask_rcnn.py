@@ -390,3 +390,50 @@ def test_rtmdet_ins_empty_gt_mask_loss_zero():
     assert float(losses['loss_mask']) == 0.0
     assert float(losses['loss_bbox']) == 0.0
     assert float(losses['loss_cls']) > 0
+
+
+def test_seesaw_mask_rcnn_loss_state_and_predict():
+    """SeesawLoss Mask R-CNN (configs/seesaw_loss, reference
+    losses/seesaw_loss.py): C+2 cls channels through a NormedLinear
+    predictor, seesaw CE over positives + fg/bg objectness CE, and the
+    cumulative per-class counter threaded through loss_and_state."""
+    from erd_tpu.models.detectors.mask_rcnn import MaskRCNNDetector
+    det = MaskRCNNDetector(num_classes=3, depth=18, loss_cls='seesaw')
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    # seesaw head widens cls to C+2 and carries a (C+1,) counter
+    assert variables['params']['bbox_head']['fc_cls'][
+        'kernel'].shape[-1] == 5
+    assert variables['seesaw']['cum_samples'].shape == (4,)
+
+    batch = make_mask_batch()
+    losses, consts = det.loss_and_state_jit(variables, batch)
+    for k in ('loss_cls_classes', 'loss_cls_objectness', 'loss_bbox',
+              'loss_mask', 'loss_rpn_cls', 'loss_rpn_bbox'):
+        assert k in losses
+        assert np.isfinite(float(losses[k])), (k, losses)
+    cum = np.asarray(consts['seesaw']['cum_samples'])
+    assert cum.sum() > 0  # sampled RoIs were counted
+    assert cum[-1] > 0    # background column accumulates too
+
+    # the counter feeds forward: a second step starts from the update
+    losses2, consts2 = det.loss_and_state_jit(
+        {'params': variables['params'], **consts}, batch)
+    assert (np.asarray(consts2['seesaw']['cum_samples']) >= cum).all()
+
+    res, masks = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[0] == 2
+    assert np.isfinite(np.asarray(res.scores)).all()
+    assert masks.shape[:2] == res.bboxes.shape[:2]
+
+
+def test_seesaw_config_builds():
+    from erd_tpu.apis import build_detector
+    from erd_tpu.config import Config
+    cfg = Config.fromfile(
+        'configs/seesaw_loss/'
+        'mask_rcnn_r50_fpn_seesaw_loss_random_ms_2x_lvis_v1.py')
+    det = build_detector(dict(cfg.model, depth=18, num_classes=3))
+    assert det.loss_cls == 'seesaw'
+    assert det.test_cfg.score_thr == 0.0001
+    assert det.test_cfg.max_per_img == 300
+    assert hasattr(det, 'loss_and_state')
