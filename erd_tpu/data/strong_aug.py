@@ -42,6 +42,9 @@ class Sample:
     boxes: np.ndarray    # (N, 4) float32
     labels: np.ndarray   # (N,) int32
     ignore: np.ndarray   # (N,) bool
+    # optional per-instance box-normalized (R, R) mask crops, aligned with
+    # boxes; carried by the mask-aware transforms (InstaBoost, CopyPaste)
+    masks: Optional[list] = None
 
 
 def _filter_inside(s: Sample, h, w, clip=True) -> Sample:
@@ -530,9 +533,10 @@ def _crop_to_bitmap(crop, box, h, w):
     x2, y2 = min(x2, w), min(y2, h)
     out = np.zeros((h, w), np.uint8)
     if x2 > x1 and y2 > y1:
-        patch = resize_image((crop * 255).astype(np.uint8)[..., None],
-                             (y2 - y1, x2 - x1))[..., 0]
-        out[y1:y2, x1:x2] = patch >= 128
+        # cv2.resize drops a trailing singleton channel -> keep it 2D
+        patch = resize_image((crop * 255).astype(np.uint8),
+                             (y2 - y1, x2 - x1))
+        out[y1:y2, x1:x2] = patch.reshape(y2 - y1, x2 - x1) >= 128
     return out
 
 
@@ -543,7 +547,7 @@ def _bitmap_to_crop(bitmap, box, res):
     x1, y1 = max(x1, 0), max(y1, 0)
     x2, y2 = min(max(x2, x1 + 1), w), min(max(y2, y1 + 1), h)
     patch = bitmap[y1:y2, x1:x2].astype(np.uint8) * 255
-    return (resize_image(patch[..., None], (res, res))[..., 0] >=
+    return (resize_image(patch, (res, res)).reshape(res, res) >=
             128).astype(np.float32)
 
 
@@ -562,8 +566,30 @@ class CopyPaste:
     mask_occluded_thr: int = 300
     mask_res: int = 56
 
-    def __call__(self, dst: Sample, dst_masks, src: Sample, src_masks,
-                 rng: np.random.RandomState):
+    def __call__(self, sample: Sample, rng: np.random.RandomState,
+                 sampler: Callable):
+        """Pipeline protocol: draw the paste source via ``sampler`` and
+        composite; masks ride on ``Sample.masks``. The source is rescaled
+        onto the destination canvas first (the reference guarantees equal
+        sizes via its shared RandomResize; transforms here run
+        pre-resize)."""
+        assert sample.masks is not None, \
+            'CopyPaste needs instance masks (with_mask dataset)'
+        src = sampler(rng)
+        if src.masks is None:
+            return sample
+        h, w = sample.img.shape[:2]
+        sh, sw = src.img.shape[:2]
+        if (sh, sw) != (h, w):
+            scale = np.array([w / sw, h / sh, w / sw, h / sh], np.float32)
+            src = replace(src, img=resize_image(src.img, (h, w)),
+                          boxes=src.boxes * scale)
+        out, out_masks = self.paste(sample, sample.masks, src, src.masks,
+                                    rng)
+        return replace(out, masks=out_masks)
+
+    def paste(self, dst: Sample, dst_masks, src: Sample, src_masks,
+              rng: np.random.RandomState):
         """masks: per-instance box-normalized crops (list of (r, r))."""
         h, w = dst.img.shape[:2]
         n_src = len(src.boxes)
@@ -618,3 +644,85 @@ class CopyPaste:
                      boxes=np.asarray(out_boxes, np.float32).reshape(-1, 4),
                      labels=out_labels, ignore=out_ignore)
         return out, out_masks
+
+
+# ---------------------------------------------------------------------------
+# InstaBoost (datasets/transforms/instaboost.py + configs/instaboost)
+# ---------------------------------------------------------------------------
+@dataclass
+class InstaBoost:
+    """InstaBoost (arXiv 1908.07801): probability-map-guided copy-paste of
+    an image's OWN instances. The reference wraps the external
+    ``instaboostfast`` package (instaboost.py:66-79) with
+    action_candidate=('normal','horizontal','skip'), action_prob=(1,0,0)
+    — i.e. the shipped configs only ever take the 'normal' action: each
+    instance is cut out via its mask, randomly rescaled
+    (``scale``=(0.8,1.2)), shifted by up to width/``dx`` x height/``dy``
+    and rotated by ``theta`` degrees, the hole is background-inpainted,
+    and the instance is pasted back at the jittered placement. Applied to
+    a whole image with probability ``aug_ratio``.
+
+    This is a from-the-paper reimplementation of that 'normal' action on
+    the repo's box-normalized mask-crop layout (no external dep; the
+    heatmap-guided hflag=False path, matching every reference config).
+    """
+    scale: Tuple[float, float] = (0.8, 1.2)
+    dx: int = 15
+    dy: int = 15
+    theta: Tuple[float, float] = (-1.0, 1.0)
+    aug_ratio: float = 0.5
+    mask_res: int = 56
+
+    def __call__(self, sample: Sample, rng: np.random.RandomState,
+                 sampler: Callable = None):
+        assert sample.masks is not None, \
+            'InstaBoost needs instance masks (with_mask dataset)'
+        if rng.rand() >= self.aug_ratio or len(sample.boxes) == 0:
+            return sample
+        import cv2
+        h, w = sample.img.shape[:2]
+        img = sample.img.copy()
+        boxes = sample.boxes.copy()
+        masks = list(sample.masks)
+
+        # cut all instances out and inpaint the holes once
+        bitmaps = [_crop_to_bitmap(masks[i], boxes[i], h, w)
+                   for i in range(len(boxes))]
+        hole = np.zeros((h, w), np.uint8)
+        for m in bitmaps:
+            hole |= m
+        background = cv2.inpaint(img, hole * 255, 3, cv2.INPAINT_TELEA)
+
+        out = background
+        new_boxes, new_masks, keep = [], [], []
+        for i, m in enumerate(bitmaps):
+            bw = boxes[i, 2] - boxes[i, 0]
+            bh = boxes[i, 3] - boxes[i, 1]
+            cx = (boxes[i, 0] + boxes[i, 2]) / 2
+            cy = (boxes[i, 1] + boxes[i, 3]) / 2
+            s = rng.uniform(*self.scale)
+            tx = rng.uniform(-bw / self.dx, bw / self.dx)
+            ty = rng.uniform(-bh / self.dy, bh / self.dy)
+            ang = rng.uniform(*self.theta)
+            rot = cv2.getRotationMatrix2D((float(cx), float(cy)), ang, s)
+            rot[:, 2] += (tx, ty)
+            warped = cv2.warpAffine(m, rot, (w, h),
+                                    flags=cv2.INTER_NEAREST)
+            pix = cv2.warpAffine(img * m[..., None], rot, (w, h),
+                                 flags=cv2.INTER_LINEAR)
+            ys, xs = np.nonzero(warped)
+            if len(ys) == 0:
+                keep.append(False)
+                continue
+            keep.append(True)
+            out = np.where(warped[..., None] > 0, pix, out)
+            nb = np.asarray([xs.min(), ys.min(), xs.max() + 1,
+                             ys.max() + 1], np.float32)
+            new_boxes.append(nb)
+            new_masks.append(_bitmap_to_crop(warped, nb, self.mask_res))
+        keep = np.asarray(keep, bool)
+        return Sample(img=out.astype(np.uint8),
+                      boxes=np.asarray(new_boxes, np.float32).reshape(-1, 4),
+                      labels=sample.labels[keep],
+                      ignore=sample.ignore[keep],
+                      masks=new_masks)

@@ -86,9 +86,11 @@ class DetPipeline:
                          rng, record=record)
 
     def pack(self, img, bboxes, labels, ignore, rng,
-             record: Optional[ImageRecord] = None):
+             record: Optional[ImageRecord] = None, masks=None):
         """Resize/flip/bucket-pad an (img, boxes) pair into the static batch
-        layout. ``record`` supplies img_id and mask polygons when present."""
+        layout. ``record`` supplies img_id and mask polygons when present;
+        ``masks`` (box-normalized crops) overrides them when a mask-aware
+        strong-aug stage already produced transformed crops."""
         ori_h, ori_w = img.shape[:2]
         scale = self.scale
         if self.training and self.ms_scales and rng is not None:
@@ -115,7 +117,13 @@ class DetPipeline:
         canvas[:new_h, :new_w] = img
 
         mask_crops = None
-        if record is not None and record.polygons is not None:
+        if masks is not None:
+            # box-normalized crops from a mask-aware strong-aug stage;
+            # scale-invariant, a flip just mirrors the crop
+            mask_crops = [np.asarray(c) for c in masks[:self.max_gt]]
+            if flip:
+                mask_crops = [c[:, ::-1] for c in mask_crops]
+        elif record is not None and record.polygons is not None:
             from .masks import polygons_to_boxmask
             # box-normalized crops are scale-invariant: rasterize from the
             # ORIGINAL polygons/boxes; a flip just mirrors the crop.
@@ -150,19 +158,34 @@ class AugPipeline(DetPipeline):
     transforms: Tuple = ()
     dataset: Optional[object] = None  # CocoDataset-like, for mix sampling
 
+    # transforms that carry Sample.masks through geometry/composition;
+    # everything else would silently misalign crop<->box, so masks +
+    # other transforms is an explicit error
+    _MASK_AWARE = ('InstaBoost', 'CopyPaste')
+
     def _load_sample(self, record: ImageRecord,
                      image: Optional[np.ndarray] = None):
         from .strong_aug import Sample
         img = image if image is not None else imread_rgb(record.path)
+        masks = None
+        if record.polygons is not None:
+            from .masks import polygons_to_boxmask
+            masks = [polygons_to_boxmask(p, record.bboxes[i],
+                                         self.mask_res)
+                     for i, p in enumerate(record.polygons)]
         return Sample(img=img, boxes=record.bboxes.copy(),
                       labels=record.labels.copy(),
-                      ignore=record.ignore.copy())
+                      ignore=record.ignore.copy(), masks=masks)
 
     def __call__(self, record: ImageRecord,
                  rng: Optional[np.random.RandomState] = None,
                  image: Optional[np.ndarray] = None):
-        assert record.polygons is None, \
-            'strong augs + instance masks not supported yet'
+        if record.polygons is not None:
+            bad = [type(t).__name__ for t in self.transforms
+                   if type(t).__name__ not in self._MASK_AWARE]
+            assert not bad, \
+                f'strong augs {bad} do not carry instance masks; ' \
+                f'mask datasets support only {self._MASK_AWARE}'
         rng = rng or np.random.RandomState(0)
         sample = self._load_sample(record, image)
 
@@ -175,6 +198,7 @@ class AugPipeline(DetPipeline):
         for t in self.transforms:
             sample = t(sample, rng, sampler)
         canvas, gt, meta = self.pack(sample.img, sample.boxes,
-                                     sample.labels, sample.ignore, rng)
+                                     sample.labels, sample.ignore, rng,
+                                     masks=sample.masks)
         meta = meta.replace(img_id=np.asarray(record.img_id, np.int32))
         return canvas, gt, meta

@@ -203,8 +203,8 @@ def test_copy_paste_occlusion_and_append():
                  ignore=np.zeros(1, bool))
     src_masks = [full.copy()]
     cp = CopyPaste(mask_occluded_thr=50)
-    out, out_masks = cp(dst, dst_masks, src, src_masks,
-                        np.random.RandomState(0))
+    out, out_masks = cp.paste(dst, dst_masks, src, src_masks,
+                              np.random.RandomState(0))
     # pasted region shows source pixels; elsewhere untouched
     assert (out.img[5, 5] == 200).all()
     assert (out.img[50, 50] == 0).all()

@@ -299,3 +299,63 @@ def test_build_loader_strong_aug_and_pipeline_switch(tmp_path):
     # weak pipeline still produces valid batches
     batches = list(loader.epoch(2))
     assert batches and batches[0]['images'].shape[1:] == (64, 64, 3)
+
+
+def test_instaboost_normal_action():
+    """InstaBoost 'normal' action (instaboost.py wrapping arXiv
+    1908.07801): instances jittered in place, background inpainted,
+    boxes/masks updated consistently; aug_ratio=0 is identity."""
+    import numpy as np
+    from erd_tpu.data.strong_aug import InstaBoost, Sample
+    rs = np.random.RandomState(3)
+    img = np.full((64, 96, 3), 120, np.uint8)
+    img[20:40, 30:60] = (200, 40, 40)
+    full = np.ones((56, 56), np.float32)
+    s = Sample(img=img,
+               boxes=np.asarray([[30, 20, 60, 40]], np.float32),
+               labels=np.asarray([1], np.int32),
+               ignore=np.zeros(1, bool), masks=[full])
+    out = InstaBoost(aug_ratio=1.0)(s, rs)
+    assert len(out.boxes) == 1 and len(out.masks) == 1
+    # instance stays near its origin (shift bounded by w/15, h/15 + scale)
+    assert abs(out.boxes[0][0] - 30) < 12 and abs(out.boxes[0][1] - 20) < 10
+    assert out.masks[0].shape == (56, 56)
+    # identity when the ratio gate does not fire
+    same = InstaBoost(aug_ratio=0.0)(s, np.random.RandomState(0))
+    assert same is s
+
+
+def test_aug_pipeline_carries_masks_through_copypaste(tmp_path):
+    """Mask-aware AugPipeline: polygons -> Sample.masks -> CopyPaste ->
+    GTInstances.masks, boxes and crops aligned."""
+    import cv2
+    import numpy as np
+    from erd_tpu.data.strong_aug import CopyPaste
+    from erd_tpu.data.transforms import AugPipeline, ImageRecord
+
+    src_path = str(tmp_path / 'src.jpg')
+    cv2.imwrite(src_path, np.full((64, 96, 3), 90, np.uint8))
+
+    class DS:
+        def __init__(self):
+            self.rec = ImageRecord(
+                img_id=1, path=src_path, width=96, height=64,
+                bboxes=np.asarray([[10., 10., 50., 40.]], np.float32),
+                labels=np.asarray([0], np.int32),
+                ignore=np.zeros(1, bool),
+                polygons=[[np.asarray([10, 10, 50, 10, 50, 40, 10, 40],
+                                      np.float32)]])
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return self.rec
+
+    ds = DS()
+    pipe = AugPipeline(scale=(96, 64), max_gt=8, flip_prob=0.0,
+                       transforms=(CopyPaste(),), dataset=ds)
+    img = np.full((64, 96, 3), 90, np.uint8)
+    canvas, gt, meta = pipe(ds.rec, np.random.RandomState(0), image=img)
+    assert gt.masks is not None
+    assert gt.mask.sum() >= 1  # at least one instance survives
