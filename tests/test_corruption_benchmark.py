@@ -63,7 +63,7 @@ def test_benchmark_list_resolves():
     GROUPS, resolve_corruptions = tool.GROUPS, tool.resolve_corruptions
     from erd_tpu.data.corruptions import CORRUPTIONS
     names = resolve_corruptions(['benchmark'])
-    assert len(names) == 13 and len(set(names)) == 13
+    assert len(names) == 15 and len(set(names)) == 15  # full benchmark set
     assert set(names) <= set(CORRUPTIONS)
     assert resolve_corruptions(['noise']) == list(GROUPS['noise'])
     assert resolve_corruptions(['fog', 'fog']) == ['fog']

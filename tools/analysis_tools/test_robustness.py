@@ -25,12 +25,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
-GROUPS = {
+GROUPS = {  # reference tools/analysis_tools/test_robustness.py groups
     'noise': ('gaussian_noise', 'shot_noise', 'impulse_noise'),
-    'blur': ('defocus_blur', 'motion_blur', 'zoom_blur'),
-    'weather': ('fog', 'snow', 'brightness'),
-    'digital': ('contrast', 'pixelate', 'jpeg_compression',
-                'elastic_transform'),
+    'blur': ('defocus_blur', 'glass_blur', 'motion_blur', 'zoom_blur'),
+    'weather': ('snow', 'frost', 'fog', 'brightness'),
+    'digital': ('contrast', 'elastic_transform', 'pixelate',
+                'jpeg_compression'),
 }
 
 
