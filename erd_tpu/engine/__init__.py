@@ -2,7 +2,8 @@ from .checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
 from .ema import MeanTeacherHook, ema_update, exp_momentum
 from .hooks import (CheckInvalidLossHook, DetVisualizationHook, Hook,
                     LoggerHook, MemoryReportHook, NumClassCheckHook,
-                    PipelineSwitchHook, YOLOXModeSwitchHook, TeacherStudentValHook, SetEpochInfoHook)
+                    PipelineSwitchHook, TensorboardLoggerHook,
+                    YOLOXModeSwitchHook, TeacherStudentValHook, SetEpochInfoHook)
 from .optim import (adamw_optimizer, layer_decay_adamw,
                     layer_wise_lr_scale, resnet_frozen_paths,
                     sgd_optimizer, swin_layer_id)
@@ -16,6 +17,7 @@ __all__ = [
     'save_checkpoint', 'load_checkpoint', 'latest_checkpoint', 'Hook',
     'LoggerHook', 'CheckInvalidLossHook', 'MemoryReportHook',
     'MeanTeacherHook', 'ema_update', 'exp_momentum',
-    'NumClassCheckHook', 'PipelineSwitchHook', 'YOLOXModeSwitchHook', 'TeacherStudentValHook', 'SetEpochInfoHook',
+    'NumClassCheckHook', 'PipelineSwitchHook', 'TensorboardLoggerHook',
+    'YOLOXModeSwitchHook', 'TeacherStudentValHook', 'SetEpochInfoHook',
     'DetVisualizationHook',
 ]

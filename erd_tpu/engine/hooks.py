@@ -34,6 +34,10 @@ class Hook:
     def after_epoch(self, trainer, epoch):
         pass
 
+    def after_val(self, trainer, epoch, metrics: Dict[str, float]):
+        """Called after each validation pass with the metric dict."""
+        pass
+
 
 class LoggerHook(Hook):
     """Windowed loss/throughput logging (LogProcessor window=50 analogue)."""
@@ -247,3 +251,54 @@ class MemoryReportHook(Hook):
             if used is not None:
                 log.info(f'iter {step + 1} device bytes_in_use '
                          f'{used / 2**20:.0f} MiB')
+
+
+class TensorboardLoggerHook(Hook):
+    """Event-file scalar backend — the `vis_backends` analogue of the
+    reference's default_runtime (configs/_base_/default_runtime.py
+    TensorboardVisBackend): windowed train losses + lr + throughput at
+    ``interval`` and every validation metric, written as TF event files a
+    stock TensorBoard can plot live. Uses torch's SummaryWriter (baked-in
+    torch-cpu; no TF import)."""
+
+    def __init__(self, log_dir, interval=50, window=50):
+        self.log_dir = log_dir
+        self.interval = interval
+        self.window = window
+        self._losses = deque(maxlen=window)
+        self._times = deque(maxlen=window)
+        self._t0 = None
+        self._writer = None
+
+    def _w(self):
+        if self._writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+            self._writer = SummaryWriter(self.log_dir)
+        return self._writer
+
+    def before_train(self, trainer):
+        self._t0 = time.perf_counter()
+
+    def after_iter(self, trainer, step, losses):
+        t = time.perf_counter()
+        self._times.append(t - self._t0)
+        self._t0 = t
+        self._losses.append(losses)
+        if (step + 1) % self.interval == 0:
+            w = self._w()
+            g = step + 1
+            for k in self._losses[-1]:
+                w.add_scalar(f'train/{k}', float(np.mean(
+                    [d[k] for d in self._losses])), g)
+            w.add_scalar('train/lr', trainer.current_lr(step), g)
+            w.add_scalar('train/images_per_sec',
+                         trainer.global_batch_size /
+                         max(float(np.mean(self._times)), 1e-9), g)
+            w.flush()
+
+    def after_val(self, trainer, epoch, metrics):
+        w = self._w()
+        for k, v in metrics.items():
+            if isinstance(v, float):
+                w.add_scalar(f'val/{k}', v, epoch + 1)
+        w.flush()

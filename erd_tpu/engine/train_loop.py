@@ -240,6 +240,8 @@ class Trainer:
                 log.info(f'epoch {epoch + 1} val: ' + ' '.join(
                     f'{k} {v:.4f}' for k, v in metrics.items()
                     if isinstance(v, float)))
+                for h in self.hooks:
+                    h.after_val(self, epoch, metrics)
 
         return {'params': params, **consts}
 
@@ -341,6 +343,8 @@ class SemiTrainer(Trainer):
                 log.info(f'epoch {epoch + 1} val(teacher): ' + ' '.join(
                     f'{k} {v:.4f}' for k, v in metrics.items()
                     if isinstance(v, float)))
+                for h in self.hooks:
+                    h.after_val(self, epoch, metrics)
 
         return {'student': {'params': params, **consts},
                 'teacher': {'params': teacher_params, **consts}}

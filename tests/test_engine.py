@@ -1,5 +1,7 @@
 """Engine tests: schedule math, SGD parity with torch, frozen masking, and an
 end-to-end data-parallel training smoke on the 8-device CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -228,3 +230,37 @@ def test_layer_decay_no_decay_for_1d_params():
     # term remains: present for the 2-D kernel, absent for the 1-D bias
     assert float(jnp.abs(u['w']).sum()) > 0
     assert float(jnp.abs(u['bias']).sum()) == 0
+
+
+def test_tensorboard_logger_hook(tmp_path):
+    """TensorboardLoggerHook writes TF event files with train scalars at
+    ``interval`` and val metrics via after_val (the vis_backends analogue
+    of the reference default_runtime's TensorboardVisBackend)."""
+    from erd_tpu.engine import TensorboardLoggerHook
+
+    class T:  # trainer stub: the hook only reads these two members
+        global_batch_size = 8
+
+        def current_lr(self, step):
+            return 0.01
+
+    hook = TensorboardLoggerHook(str(tmp_path), interval=2, window=4)
+    hook.before_train(T())
+    for step in range(4):
+        hook.after_iter(T(), step, {'loss_cls': 1.0 - 0.1 * step,
+                                    'loss_bbox': 0.5})
+    hook.after_val(T(), 0, {'bbox_mAP': 0.31, 'bbox_mAP_50': 0.52,
+                            'classwise': 'skip-me'})
+    files = [f for f in os.listdir(tmp_path)
+             if f.startswith('events.out.tfevents')]
+    assert files, list(os.listdir(tmp_path))
+
+    # round-trip the scalars through the event file
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    tags = set(acc.Tags()['scalars'])
+    assert {'train/loss_cls', 'train/loss_bbox', 'train/lr',
+            'train/images_per_sec', 'val/bbox_mAP'} <= tags
+    assert abs(acc.Scalars('val/bbox_mAP')[0].value - 0.31) < 1e-6
