@@ -51,3 +51,32 @@ def rand_boxes(rs, n, w=320, h=320, min_size=2.0):
     x2 = np.clip(cx + bw / 2, x1 + min_size, w)
     y2 = np.clip(cy + bh / 2, y1 + min_size, h)
     return np.stack([x1, y1, x2, y2], axis=-1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Suite tiering: modules that compile full detector assemblies are marked
+# ``slow`` at collection time; ``pytest -m "not slow"`` is the <10-min CI
+# fast tier (oracles, task modules, data, eval — nothing that jits a whole
+# backbone+neck+head stack). One list here instead of 40 pytestmark edits.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    'test_aux', 'test_backbone_swap', 'test_backbones_extra',
+    'test_cascade_rcnn', 'test_centernet', 'test_cond_dab_detr',
+    'test_config_corpus', 'test_deformable_detr', 'test_detr', 'test_dino',
+    'test_e2e', 'test_e2e_map_sentinel', 'test_engine', 'test_erd',
+    'test_fsaf_fovea', 'test_fsdp', 'test_ga_retina', 'test_mask_rcnn',
+    'test_models', 'test_multistep_increment', 'test_neck_swap',
+    'test_num_devices_detrap', 'test_paa', 'test_panoptic',
+    'test_recall_eval', 'test_reppoints', 'test_retina_ghm_effnet',
+    'test_retina_sepbn', 'test_rtmdet', 'test_soft_teacher', 'test_solov2',
+    'test_ssd', 'test_sync_bn', 'test_tood', 'test_two_stage',
+    'test_vfnet', 'test_voc_and_api', 'test_yolof', 'test_yolov3',
+    'test_yolox', 'test_zoo_detectors', 'test_zoo_extra',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit('.', 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
