@@ -18,7 +18,10 @@ model = dict(
         ld_T=10,
         distill_nms_iou=0.005,
         ers_cls_cap=1000,
-        ers_reg_cap=1000,
+        # 0 = auto-exact reg candidate cap (N//5+1, one-sided Chebyshev
+        # bound on mu+2sigma selections — provably never truncates; see
+        # ERDConfig in models/detectors/gfl_erd.py)
+        ers_reg_cap=0,
     ),
 )
 

@@ -97,7 +97,7 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                 ld_T=erd.get('ld_T', 10),
                 distill_nms_iou=erd.get('distill_nms_iou', 0.005),
                 ers_cls_cap=erd.get('ers_cls_cap', 1000),
-                ers_reg_cap=erd.get('ers_reg_cap', 1000),
+                ers_reg_cap=erd.get('ers_reg_cap', 0),
                 num_devices=num_devices),
             **gfl_common)
     if mtype == 'RetinaNet':

@@ -48,7 +48,13 @@ class ERDConfig:
     ld_T: float = 10.0
     distill_nms_iou: float = 0.005
     ers_cls_cap: int = 1000   # static cap on mean+2std selections per image
-    ers_reg_cap: int = 1000
+    # reg-branch candidate cap. 0 (default) = auto-EXACT: one-sided
+    # Chebyshev bounds P(X > mu+2*sigma) <= 1/5 for ANY sample, so
+    # N//5 + 1 slots can never truncate the mu+2*sigma selection and the
+    # capped top-k is semantically identical to the reference's uncapped
+    # gather (gfl_increment_erd.py:155-163). A positive value pins the
+    # static candidate count instead (round-3 behavior, cap=1000).
+    ers_reg_cap: int = 0
     num_devices: int = 1      # data-parallel width, for DDP-equivalent scaling
 
 
@@ -115,7 +121,9 @@ def erd_distill_losses(anchors, s_cls, s_reg, t_cls, t_reg, cfg: ERDConfig,
     def _reg_select(r):
         crit = r.max(axis=-1)
         mean, std = masked_mean_std(crit, jnp.ones(crit.shape, bool))
-        return topk_mask_select(crit, cfg.ers_reg_cap, mean + 2 * std)
+        cap = cfg.ers_reg_cap if cfg.ers_reg_cap > 0 \
+            else crit.shape[0] // 5 + 1  # Chebyshev-exact (see ERDConfig)
+        return topk_mask_select(crit, cap, mean + 2 * std)
 
     reg_idx, reg_mask = jax.vmap(_reg_select)(t_reg)
 
