@@ -116,6 +116,44 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+class StemConv(nn.Module):
+    """7x7/2 stem conv with an MXU-friendly space-to-depth lowering.
+
+    The plain 7x7 stride-2 conv on a 3-channel image uses 3 of the MXU's
+    128 input lanes (~25 ms/fwd at bs=16 800x1344 in the round-4 trace).
+    With ``s2d=True`` the SAME linear map is computed as a 4x4 stride-1
+    conv on the 2x2-space-to-depth input (12 channels): pad the kernel to
+    8x8 with a leading zero tap (offset -4), regroup (8,8,C) taps into
+    (4,4,4C) by pixel parity, and shift the padding from (3,3) to (2,1).
+    Tap-for-tap the products are identical; only the summation order
+    changes (float-reassociation-level difference). The parameter keeps
+    the torch-importable (7,7,C,F) layout either way.
+    """
+    features: int = 64
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        kernel = kernel.astype(x.dtype)
+        dn = ('NHWC', 'HWIO', 'NHWC')
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if not self.s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn)
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * cin)
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn)
+
+
 class ResNet(nn.Module):
     """ResNet with detection-style multi-stage outputs.
 
@@ -148,6 +186,9 @@ class ResNet(nn.Module):
     # stages — the same pruning torch autograd does when nothing below
     # requires grad.
     frozen_stages: int = -1
+    # space-to-depth stem lowering (see StemConv): same linear map, MXU
+    # lane utilization 12/128 instead of 3/128 on the stem conv.
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -155,9 +196,8 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if block_type == 'bottleneck' else BasicBlock
         x = x.astype(self.compute_dtype)
 
-        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                    padding=[torch_pad(7)] * 2, use_bias=False,
-                    dtype=x.dtype, name='stem_conv')(x)
+        x = StemConv(self.base_channels, s2d=self.stem_s2d,
+                     name='stem_conv')(x)
         x = FrozenBatchNorm(self.base_channels, name='stem_bn')(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)

@@ -17,7 +17,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..structures.boxes import bbox_overlaps
 
 
 def nms_mask(boxes, scores, iou_threshold, valid_mask=None):
@@ -41,34 +40,63 @@ def nms_mask(boxes, scores, iou_threshold, valid_mask=None):
     sboxes = boxes[order]
     svalid = scores[order] > neg_inf
 
-    iou = bbox_overlaps(sboxes, sboxes)  # (N, N)
+    suppress = _suppress_matrix(sboxes, svalid, iou_threshold)
+    alive = _greedy_fixpoint(suppress, svalid, n)
+    # scatter back to original order
+    keep = jnp.zeros((n,), bool).at[order].set(alive)
+    return keep
+
+
+def _suppress_matrix(sboxes, svalid, iou_threshold, extra_mask=None):
+    """suppress[i, j] = keeping sorted-box i would remove sorted-box j.
+
+    Built directly from the 4 coordinate VECTORS so XLA emits one fusion
+    writing the (N, N) bf16 output — the generic ``bbox_overlaps`` route
+    stacks an (N, N, 2) lt/rb intermediate that materialized gigabytes at
+    the ERD distill-NMS size (trace, round 4: f32[16,4481,4481,2]).
+    Arithmetic is op-for-op identical to ``bbox_overlaps(mode='iou')`` +
+    threshold, so keep masks are bit-identical. bf16 storage of the 0/1
+    matrix halves sweep bandwidth and is exact.
+    """
+    x1, y1, x2, y2 = sboxes[:, 0], sboxes[:, 1], sboxes[:, 2], sboxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    iw = jnp.maximum(jnp.minimum(x2[:, None], x2[None, :]) -
+                     jnp.maximum(x1[:, None], x1[None, :]), 0)
+    ih = jnp.maximum(jnp.minimum(y2[:, None], y2[None, :]) -
+                     jnp.maximum(y1[:, None], y1[None, :]), 0)
+    overlap = iw * ih
+    union = jnp.maximum(area[:, None] + area[None, :] - overlap, 1e-6)
+    iou = overlap / union
+    n = sboxes.shape[0]
     idx = jnp.arange(n)
     later = idx[None, :] > idx[:, None]  # j strictly after i in sorted order
-    # suppress[i, j] = True if keeping i would remove j.
-    suppress = ((iou > iou_threshold) & later &
-                svalid[:, None]).astype(jnp.float32)
+    sup = (iou > iou_threshold) & later & svalid[:, None]
+    if extra_mask is not None:
+        sup = sup & extra_mask
+    return sup.astype(jnp.bfloat16)
 
-    # Greedy NMS solves the triangular recursion
-    #     alive[j] = valid[j] and not any(suppress[i, j] and alive[i], i<j)
-    # Rather than N sequential scalar steps, iterate the recursion as a
-    # Jacobi fixpoint: each sweep is one (N,)x(N,N) product on the VPU/MXU,
-    # and after k sweeps every box whose suppression-chain depth is < k is
-    # final — real workloads converge in a handful of sweeps. Exactness:
-    # the loop runs until nothing changes (bounded by N).
+
+def _greedy_fixpoint(suppress, svalid, n):
+    """Solve the greedy-NMS triangular recursion
+        alive[j] = valid[j] and not any(suppress[i, j] and alive[i], i<j)
+    as a Jacobi fixpoint: each sweep is one (N,)x(N,N) product on the MXU
+    (bf16 0/1 entries, f32 accumulation — the >0 test is exact), and after
+    k sweeps every box whose suppression-chain depth is < k is final; real
+    workloads converge in a handful of sweeps. Exactness: the loop runs
+    until nothing changes (bounded by N).
+    """
     def cond(state):
         alive, prev, it = state
         return jnp.logical_and(jnp.any(alive != prev), it < n)
 
     def body(state):
         alive, _, it = state
-        hit = (alive.astype(jnp.float32) @ suppress) > 0
+        hit = (alive.astype(jnp.bfloat16) @ suppress) > 0
         return (svalid & ~hit, alive, it + 1)
 
     alive, _, _ = jax.lax.while_loop(
         cond, body, (svalid, jnp.zeros_like(svalid), 0))
-    # scatter back to original order
-    keep = jnp.zeros((n,), bool).at[order].set(alive)
-    return keep
+    return alive
 
 
 def set_nms_mask(boxes, scores, group_ids, iou_threshold,
@@ -87,24 +115,10 @@ def set_nms_mask(boxes, scores, group_ids, iou_threshold,
     svalid = scores[order] > neg_inf
     sgroup = group_ids[order]
 
-    iou = bbox_overlaps(sboxes, sboxes)
-    idx = jnp.arange(n)
-    later = idx[None, :] > idx[:, None]
     same_group = sgroup[:, None] == sgroup[None, :]
-    suppress = ((iou > iou_threshold) & later & ~same_group &
-                svalid[:, None]).astype(jnp.float32)
-
-    def cond(state):
-        alive, prev, it = state
-        return jnp.logical_and(jnp.any(alive != prev), it < n)
-
-    def body(state):
-        alive, _, it = state
-        hit = (alive.astype(jnp.float32) @ suppress) > 0
-        return (svalid & ~hit, alive, it + 1)
-
-    alive, _, _ = jax.lax.while_loop(
-        cond, body, (svalid, jnp.zeros_like(svalid), 0))
+    suppress = _suppress_matrix(sboxes, svalid, iou_threshold,
+                                extra_mask=~same_group)
+    alive = _greedy_fixpoint(suppress, svalid, n)
     return jnp.zeros((n,), bool).at[order].set(alive)
 
 

@@ -64,22 +64,66 @@ def summarize(outdir, top=40):
 
     totals = defaultdict(float)
     device_total = 0.0
+    async_total = 0.0
+    step_ms = []
     for plane in xspace.planes:
         if 'TPU' not in plane.name and 'device' not in plane.name.lower():
             continue
         for line in plane.lines:
-            # XLA Ops lines carry per-op events
-            if 'XLA Ops' not in line.name and 'xla op' not in \
-                    line.name.lower():
+            if line.name == 'Steps':
+                step_ms = [ev.duration_ps / 1e9 for ev in line.events]
+            # 'XLA Ops' is the SYNC compute timeline; 'Async XLA Ops'
+            # carries DMA copy-start/done whose durations overlap compute
+            # and must not be summed into serial time.
+            if line.name == 'Async XLA Ops':
+                async_total += sum(ev.duration_ps / 1e9
+                                   for ev in line.events)
+                continue
+            if line.name != 'XLA Ops':
                 continue
             for ev in line.events:
                 meta = plane.event_metadata[ev.metadata_id]
                 dur_ms = ev.duration_ps / 1e9
                 totals[meta.name] += dur_ms
                 device_total += dur_ms
+    if step_ms:
+        print('steps traced: %d, mean %.1f ms/step' %
+              (len(step_ms), sum(step_ms) / len(step_ms)))
+    print(f'async DMA total (overlapped, not serial): {async_total:.1f} ms')
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
     print(f'device op time total: {device_total:.1f} ms '
           f'({len(rows)} distinct ops)')
+
+    # Category accounting: copy-start/copy-done are ASYNC DMA whose listed
+    # duration spans until completion — they overlap compute and must not be
+    # read as serial time. Convolutions lower to %custom-call (cuDNN-style
+    # conv targets) or %convolution; those are the MXU time.
+    def category(name):
+        n = name.lstrip('%')
+        if n.startswith(('copy-start', 'copy-done', 'copy.',
+                         'all-reduce', 'collective')):
+            return 'async-dma/copies (overlapped)'
+        if 'custom-call' in name or n.startswith('convolution'):
+            return 'conv custom-calls (MXU)'
+        if n.startswith(('dot', 'cublas', 'gemm')) or 'dot_general' in name:
+            return 'matmul (MXU)'
+        if n.startswith('sort'):
+            return 'sort'
+        if n.startswith('while'):
+            return 'while loops (NMS fixpoint etc.)'
+        if n.startswith(('scatter', 'gather', 'dynamic-')):
+            return 'scatter/gather'
+        if n.startswith('fusion') or '_fusion' in n.split(' ')[0]:
+            return 'elementwise/reduce fusions (VPU)'
+        return 'other'
+
+    cats = defaultdict(float)
+    for name, ms in totals.items():
+        cats[category(name)] += ms
+    print('\n-- by category (NB: async copies overlap compute) --')
+    for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f'{ms:9.2f} ms {100 * ms / device_total:5.1f}%  {c}')
+    print('\n-- top ops --')
     for name, ms in rows[:top]:
         print(f'{ms:9.2f} ms {100 * ms / device_total:5.1f}%  {name[:120]}')
 
