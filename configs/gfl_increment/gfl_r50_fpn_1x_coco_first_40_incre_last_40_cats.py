@@ -17,7 +17,8 @@ model = dict(
         ld_weight=0.25,
         ld_T=10,
         distill_nms_iou=0.005,
-        ers_cls_cap=1000,
+        # the cls-branch ERS selection is dense-exact (no cap knob; see
+        # ers_cls_mask_dense in models/detectors/gfl_erd.py)
         # 0 = auto-exact reg candidate cap (N//5+1, one-sided Chebyshev
         # bound on mu+2sigma selections — provably never truncates; see
         # ERDConfig in models/detectors/gfl_erd.py)

@@ -89,6 +89,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'GFLIncrementERD':
         erd = model_cfg.get('erd', {})
         ori = model_cfg.get('ori_setting', {})
+        if 'ers_cls_cap' in erd:
+            raise ValueError(
+                "erd.ers_cls_cap is not a knob: the cls-branch ERS "
+                "selection is dense-exact (uncapped mu+2sigma mask, "
+                "ers_cls_mask_dense) and a cap would silently do nothing. "
+                "Remove it from the config.")
         return ERDDetector(
             erd=ERDConfig(
                 ori_num_classes=ori.get('ori_num_classes', 40),
@@ -96,7 +102,6 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
                 ld_weight=erd.get('ld_weight', 0.25),
                 ld_T=erd.get('ld_T', 10),
                 distill_nms_iou=erd.get('distill_nms_iou', 0.005),
-                ers_cls_cap=erd.get('ers_cls_cap', 1000),
                 ers_reg_cap=erd.get('ers_reg_cap', 0),
                 num_devices=num_devices),
             **gfl_common)

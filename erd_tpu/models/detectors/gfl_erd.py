@@ -47,7 +47,10 @@ class ERDConfig:
     ld_weight: float = 0.25
     ld_T: float = 10.0
     distill_nms_iou: float = 0.005
-    ers_cls_cap: int = 1000   # static cap on mean+2std selections per image
+    # NOTE: the cls-branch ERS selection has NO cap knob: the shipped
+    # semantics is the dense exact mask (score > mu + 2*sigma over ALL
+    # anchors, ers_cls_mask_dense) — a cap would change nothing on the loss
+    # (the mask is applied densely) and a capped gather is slower on TPU.
     # reg-branch candidate cap. 0 (default) = auto-EXACT: one-sided
     # Chebyshev bounds P(X > mu+2*sigma) <= 1/5 for ANY sample, so
     # N//5 + 1 slots can never truncate the mu+2*sigma selection and the

@@ -67,7 +67,7 @@ def test_incremental_stage_chain(tmp_path):
                                     image_shape=(64, 96))
 
     erd = ERDDetector(num_classes=3, depth=18,
-                      erd=ERDConfig(ori_num_classes=2, ers_cls_cap=32,
+                      erd=ERDConfig(ori_num_classes=2,
                                     ers_reg_cap=32, num_devices=8))
     student_vars = erd.init_student_from_teacher(jax.random.PRNGKey(1),
                                                  teacher_vars)

@@ -13,7 +13,7 @@ from tests.test_models import make_batch
 @pytest.fixture(scope='module')
 def erd_det():
     return ERDDetector(num_classes=6, depth=18,
-                       erd=ERDConfig(ori_num_classes=3, ers_cls_cap=64,
+                       erd=ERDConfig(ori_num_classes=3,
                                      ers_reg_cap=64))
 
 

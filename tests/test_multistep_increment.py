@@ -17,7 +17,7 @@ def test_three_stage_chain():
 
     # stage 2: ERD 2 -> 4, teacher = stage-1
     s2 = ERDDetector(num_classes=4, depth=18,
-                     erd=ERDConfig(ori_num_classes=2, ers_cls_cap=32,
+                     erd=ERDConfig(ori_num_classes=2,
                                    ers_reg_cap=32))
     v2 = s2.init_student_from_teacher(jax.random.PRNGKey(1), v1)
     losses2 = s2.loss_jit(v2, make_batch(gts=[([[10, 10, 60, 50]], [1]),
@@ -27,7 +27,7 @@ def test_three_stage_chain():
 
     # stage 3: ERD 4 -> 6, teacher = stage-2 student
     s3 = ERDDetector(num_classes=6, depth=18,
-                     erd=ERDConfig(ori_num_classes=4, ers_cls_cap=32,
+                     erd=ERDConfig(ori_num_classes=4,
                                    ers_reg_cap=32))
     v3 = s3.init_student_from_teacher(jax.random.PRNGKey(2), v2)
 

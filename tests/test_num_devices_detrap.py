@@ -40,7 +40,7 @@ def test_trainer_derives_num_devices_from_mesh():
 
     # Built with the WRONG (default) width on purpose.
     det1 = ERDDetector(num_classes=6, depth=18,
-                       erd=ERDConfig(ori_num_classes=3, ers_cls_cap=32,
+                       erd=ERDConfig(ori_num_classes=3,
                                      ers_reg_cap=32, num_devices=1))
     teacher = det1.teacher.init(jax.random.PRNGKey(1), image_shape=(64, 96))
     student = det1.init_student_from_teacher(
@@ -71,7 +71,7 @@ def test_one_device_built_matches_correctly_built_on_mesh():
     losses_by_build = {}
     for built_width in (1, 8):
         det = ERDDetector(num_classes=6, depth=18,
-                          erd=ERDConfig(ori_num_classes=3, ers_cls_cap=32,
+                          erd=ERDConfig(ori_num_classes=3,
                                         ers_reg_cap=32,
                                         num_devices=built_width))
         teacher = det.teacher.init(jax.random.PRNGKey(1),
