@@ -165,3 +165,48 @@ def test_ers_reg_auto_cap_matches_uncapped_distill():
     uncapped = run(n)
     for a, u in zip(auto, uncapped):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(u))
+
+
+def test_ers_nms_fast_path_exact_both_branches():
+    """The count-then-compact distill-NMS fast path (ers_nms_fast_k) is
+    bit-identical to the disabled path on BOTH cond branches: a batch
+    whose selection count fits in K (fast branch taken) and one whose
+    count exceeds K (full-candidate fallback taken)."""
+    from erd_tpu.models.detectors.gfl_erd import erd_distill_losses
+
+    rs = np.random.RandomState(1)
+    n, reg_max = 600, 16
+    anchors = jnp.asarray(
+        np.stack([rs.uniform(0, 50, n), rs.uniform(0, 50, n),
+                  rs.uniform(50, 100, n), rs.uniform(50, 100, n)], -1)
+        .astype(np.float32))
+
+    def run(t_reg_np, fast_k):
+        s_cls = jnp.asarray(rs_fixed['s_cls'])
+        s_reg = jnp.asarray(rs_fixed['s_reg'])
+        t_cls = jnp.asarray(rs_fixed['t_cls'])
+        cfg = ERDConfig(ori_num_classes=3, ers_reg_cap=0,
+                        ers_nms_fast_k=fast_k)
+        return erd_distill_losses(anchors, s_cls, s_reg, t_cls,
+                                  jnp.asarray(t_reg_np), cfg,
+                                  reg_max=reg_max)
+
+    rs_fixed = {
+        's_cls': rs.randn(2, n, 6).astype(np.float32),
+        's_reg': rs.randn(2, n, 4 * (reg_max + 1)).astype(np.float32),
+        't_cls': rs.randn(2, n, 3).astype(np.float32),
+    }
+
+    # case A: few selections (gaussian tail ~2% of 600 << K=32):
+    # fast branch taken
+    t_reg_few = rs.randn(2, n, 4 * (reg_max + 1)).astype(np.float32)
+    # case B: ~18% of anchors pushed above mu+2sigma (> K): fallback taken
+    t_reg_many = rs.randn(2, n, 4 * (reg_max + 1)).astype(np.float32) * 0.05
+    hot = rs.choice(n, 110, replace=False)
+    t_reg_many[:, hot, :] += 10.0
+
+    for t_reg_np in (t_reg_few, t_reg_many):
+        fast = run(t_reg_np, 32)
+        off = run(t_reg_np, 0)
+        for a, b in zip(fast, off):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
