@@ -1,0 +1,3 @@
+# Mask R-CNN R101-FPN 1x (reference configs/mask_rcnn/mask-rcnn_r101_fpn_1x_coco.py).
+_base_ = ['mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(depth=101)

@@ -1,0 +1,3 @@
+# RetinaNet R101-FPN 1x (reference configs/retinanet/retinanet_r101_fpn_1x_coco.py).
+_base_ = ['retinanet_r50_fpn_1x_coco.py']
+model = dict(depth=101)

@@ -42,6 +42,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     )
     if model_cfg.get('dcn_stages'):
         base['dcn_stages'] = tuple(model_cfg['dcn_stages'])
+        # DCNv1 (reference dcn=dict(type='DCN'), configs/dcn) vs DCNv2
+        # (type='DCNv2', configs/dcnv2 + the gfl dcnv2 recipes)
+        if 'dcn_modulated' in model_cfg:
+            base['dcn_modulated'] = bool(model_cfg['dcn_modulated'])
     if model_cfg.get('backbone'):
         # backbone swap (configs/swin, configs/regnet, ... — GFL and the
         # Faster/Mask R-CNN assemblies accept SWAPPABLE_BACKBONES specs)
@@ -120,6 +124,15 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return FCOSDetector(test_cfg=test_cfg, **base)
     if mtype == 'ATSS':
         return ATSSDetector(test_cfg=test_cfg, **base)
+    if mtype in ('FasterRCNN', 'MaskRCNN'):
+        # configs/gn + gn+ws: GN(32) neck/head norm, ConvWS convs,
+        # Shared4Conv1FCBBoxHead
+        if model_cfg.get('head_norm', '').upper() == 'GN':
+            base['head_norm'] = 'gn'
+        if model_cfg.get('conv_ws'):
+            base['conv_ws'] = True
+        if model_cfg.get('bbox_head') == 'Shared4Conv1FCBBoxHead':
+            base['bbox_head_convs'] = 4
     if mtype == 'FasterRCNN':
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':

@@ -27,6 +27,27 @@ ARCH_SETTINGS = {
 }
 
 
+def _norm(kind, ch, name):
+    """'frozen_bn' (default, reference norm_eval) or 'gn' (configs/gn,
+    gn+ws: norm_cfg=dict(type='GN', num_groups=32))."""
+    if kind == 'gn':
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    return FrozenBatchNorm(ch, name=name)
+
+
+def _conv(ws, features, k, stride=1, dilation=1, dtype=None, name=None):
+    """Plain conv or weight-standardized conv (configs/gn+ws
+    conv_cfg=dict(type='ConvWS')), bias-free (norm absorbs it)."""
+    if ws:
+        from ..layers import WSConv
+        return WSConv(features, kernel_size=k, strides=stride,
+                      dilation=dilation, use_bias=False, name=name)
+    return nn.Conv(features, (k, k), strides=(stride, stride),
+                   padding=[torch_pad(k)] * 2,
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=False, dtype=dtype, name=name)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 with identity/projection shortcut.
 
@@ -44,14 +65,16 @@ class Bottleneck(nn.Module):
     context_block: bool = False        # ContextBlock, position after_conv3
     context_block_ratio: float = 0.25
     gen_attention: bool = False        # GeneralizedAttention, after_conv2
+    norm: str = 'frozen_bn'            # 'frozen_bn' | 'gn'
+    conv_ws: bool = False              # weight-standardized convs (gn+ws)
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.planes * 4
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=x.dtype,
-                    name='conv1')(x)
-        y = FrozenBatchNorm(self.planes, name='bn1')(y)
+        y = _conv(self.conv_ws, self.planes, 1, dtype=x.dtype,
+                  name='conv1')(x)
+        y = _norm(self.norm, self.planes, 'bn1')(y)
         y = nn.relu(y)
         if self.dcn:
             from ...ops.deform_conv import ModulatedDeformConv
@@ -61,31 +84,26 @@ class Bottleneck(nn.Module):
                                     modulated=self.dcn_modulated,
                                     name='conv2')(y)
         else:
-            y = nn.Conv(self.planes, (3, 3),
-                        strides=(self.stride, self.stride),
-                        padding=[torch_pad(3)] * 2,
-                        kernel_dilation=(self.dilation, self.dilation),
-                        use_bias=False, dtype=y.dtype, name='conv2')(y)
-        y = FrozenBatchNorm(self.planes, name='bn2')(y)
+            y = _conv(self.conv_ws, self.planes, 3, stride=self.stride,
+                      dilation=self.dilation, dtype=y.dtype,
+                      name='conv2')(y)
+        y = _norm(self.norm, self.planes, 'bn2')(y)
         y = nn.relu(y)
         if self.gen_attention:
             from ..plugins import GeneralizedAttention
             y = GeneralizedAttention(name='gen_attention')(
                 y.astype(jnp.float32)).astype(y.dtype)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=y.dtype,
-                    name='conv3')(y)
-        y = FrozenBatchNorm(out_ch, name='bn3')(y)
+        y = _conv(self.conv_ws, out_ch, 1, dtype=y.dtype, name='conv3')(y)
+        y = _norm(self.norm, out_ch, 'bn3')(y)
         if self.context_block:
             from ..plugins import ContextBlock
             y = ContextBlock(ratio=self.context_block_ratio,
                              name='context_block')(
                 y.astype(jnp.float32)).astype(y.dtype)
         if self.downsample:
-            identity = nn.Conv(out_ch, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=x.dtype,
-                               name='downsample_conv')(x)
-            identity = FrozenBatchNorm(out_ch, name='downsample_bn')(identity)
+            identity = _conv(self.conv_ws, out_ch, 1, stride=self.stride,
+                             dtype=x.dtype, name='downsample_conv')(x)
+            identity = _norm(self.norm, out_ch, 'downsample_bn')(identity)
         return nn.relu(y + identity)
 
 
@@ -94,25 +112,25 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dilation: int = 1
+    norm: str = 'frozen_bn'
+    conv_ws: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=[torch_pad(3)] * 2, use_bias=False,
-                    dtype=x.dtype, name='conv1')(x)
-        y = FrozenBatchNorm(self.planes, name='bn1')(y)
+        y = _conv(self.conv_ws, self.planes, 3, stride=self.stride,
+                  dtype=x.dtype, name='conv1')(x)
+        y = _norm(self.norm, self.planes, 'bn1')(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=[torch_pad(3)] * 2,
-                    use_bias=False, dtype=y.dtype, name='conv2')(y)
-        y = FrozenBatchNorm(self.planes, name='bn2')(y)
+        y = _conv(self.conv_ws, self.planes, 3, dtype=y.dtype,
+                  name='conv2')(y)
+        y = _norm(self.norm, self.planes, 'bn2')(y)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=x.dtype,
-                               name='downsample_conv')(x)
-            identity = FrozenBatchNorm(self.planes,
-                                       name='downsample_bn')(identity)
+            identity = _conv(self.conv_ws, self.planes, 1,
+                             stride=self.stride, dtype=x.dtype,
+                             name='downsample_conv')(x)
+            identity = _norm(self.norm, self.planes,
+                             'downsample_bn')(identity)
         return nn.relu(y + identity)
 
 
@@ -131,12 +149,17 @@ class StemConv(nn.Module):
     """
     features: int = 64
     s2d: bool = True
+    ws: bool = False  # weight standardization (gn+ws), on the 7x7 kernel
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, cin, self.features))
+        if self.ws:
+            mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+            std = kernel.std(axis=(0, 1, 2), keepdims=True)
+            kernel = (kernel - mean) / (std + 1e-5)
         kernel = kernel.astype(x.dtype)
         dn = ('NHWC', 'HWIO', 'NHWC')
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
@@ -189,6 +212,11 @@ class ResNet(nn.Module):
     # space-to-depth stem lowering (see StemConv): same linear map, MXU
     # lane utilization 12/128 instead of 3/128 on the stem conv.
     stem_s2d: bool = True
+    # norm layer: 'frozen_bn' (reference norm_eval default) | 'gn'
+    # (configs/gn, gn+ws); conv_ws pairs weight-standardized convs with GN
+    # (configs/gn+ws conv_cfg=dict(type='ConvWS')).
+    norm: str = 'frozen_bn'
+    conv_ws: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -197,8 +225,8 @@ class ResNet(nn.Module):
         x = x.astype(self.compute_dtype)
 
         x = StemConv(self.base_channels, s2d=self.stem_s2d,
-                     name='stem_conv')(x)
-        x = FrozenBatchNorm(self.base_channels, name='stem_bn')(x)
+                     ws=self.conv_ws, name='stem_conv')(x)
+        x = _norm(self.norm, self.base_channels, 'stem_bn')(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
         if self.frozen_stages >= 0:
@@ -213,10 +241,10 @@ class ResNet(nn.Module):
                 expansion = 4 if block_type == 'bottleneck' else 1
                 needs_ds = b == 0 and (stride != 1 or
                                        x.shape[-1] != planes * expansion)
-                kw = {}
+                kw = dict(norm=self.norm, conv_ws=self.conv_ws)
                 if block_type == 'bottleneck':
                     if self.dcn_stages[stage]:
-                        kw = dict(dcn=True,
+                        kw.update(dcn=True,
                                   dcn_modulated=self.dcn_modulated)
                     if self.context_block_stages[stage]:
                         kw.update(context_block=True,

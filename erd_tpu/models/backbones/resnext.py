@@ -21,6 +21,10 @@ class ResNeXtBottleneck(nn.Module):
     downsample: bool = False
     groups: int = 32
     base_width: int = 4
+    # (modulated) deformable 3x3 — the reference's dcn stage plugin on
+    # ResNeXt (configs/gfl/gfl_x101-32x4d-dconv-c4-c5_fpn_ms-2x_coco.py)
+    dcn: bool = False
+    dcn_modulated: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -30,10 +34,18 @@ class ResNeXtBottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, name='conv1')(x)
         y = FrozenBatchNorm(width, name='bn1')(y)
         y = nn.relu(y)
-        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding=[torch_pad(3)] * 2,
-                    feature_group_count=self.groups, use_bias=False,
-                    name='conv2')(y)
+        if self.dcn:
+            from ...ops.deform_conv import ModulatedDeformConv
+            y = ModulatedDeformConv(width, kernel_size=3,
+                                    strides=self.stride,
+                                    modulated=self.dcn_modulated,
+                                    feature_group_count=self.groups,
+                                    name='conv2')(y)
+        else:
+            y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                        padding=[torch_pad(3)] * 2,
+                        feature_group_count=self.groups, use_bias=False,
+                        name='conv2')(y)
         y = FrozenBatchNorm(width, name='bn2')(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name='conv3')(y)
@@ -53,6 +65,9 @@ class ResNeXt(nn.Module):
     base_channels: int = 64
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     strides: Tuple[int, ...] = (1, 2, 2, 2)
+    # per-stage deformable-conv plugin (reference stage_with_dcn)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +91,8 @@ class ResNeXt(nn.Module):
                     planes, stride=stride if b == 0 else 1,
                     downsample=needs_ds, groups=self.groups,
                     base_width=self.base_width,
+                    dcn=bool(self.dcn_stages[stage]),
+                    dcn_modulated=self.dcn_modulated,
                     name=f'layer{stage + 1}_block{b}')(x)
             if stage in self.out_indices:
                 outs.append(x)

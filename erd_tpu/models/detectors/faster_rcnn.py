@@ -48,6 +48,11 @@ class FasterRCNNNet(nn.Module):
     # predictor (configs/seesaw_loss cls_predictor_cfg); 0 = defaults
     cls_channels: int = 0
     normed_temp: float = 0.0
+    # configs/gn + gn+ws: GN(32) through neck and heads, optional
+    # weight-standardized convs, Shared4Conv1FC bbox head
+    head_norm: str = ''  # '' | 'gn'
+    conv_ws: bool = False
+    bbox_head_convs: int = 0  # 4 -> Shared4Conv1FCBBoxHead
 
     def setup(self):
         if self.backbone_spec is not None:
@@ -67,11 +72,16 @@ class FasterRCNNNet(nn.Module):
             self.neck = NeckChain(spec=self.neck_spec)
         else:
             self.neck = FPN(in_channels=in_ch, out_channels=256,
-                            start_level=0, add_extra_convs='', num_outs=5)
+                            start_level=0, add_extra_convs='', num_outs=5,
+                            norm=self.head_norm, conv_ws=self.conv_ws)
         self.rpn_head = RPNHeadNet()
-        self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,
-                                           cls_channels=self.cls_channels,
-                                           normed_temp=self.normed_temp)
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes,
+            cls_channels=self.cls_channels,
+            normed_temp=self.normed_temp,
+            num_shared_convs=self.bbox_head_convs,
+            conv_norm=self.head_norm if self.bbox_head_convs else '',
+            conv_ws=self.conv_ws if self.bbox_head_convs else False)
 
     def extract_feat(self, images):
         return self.neck(self.backbone(images))
@@ -105,6 +115,10 @@ class FasterRCNNDetector:
     loss_cls: str = 'ce'
     seesaw_p: float = 0.8
     seesaw_q: float = 2.0
+    # configs/gn + gn+ws recipes (GN necks/heads, ConvWS, 4conv1fc head)
+    head_norm: str = ''
+    conv_ws: bool = False
+    bbox_head_convs: int = 0
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     rpn_train_cfg: RPNTrainConfig = field(default_factory=RPNTrainConfig)
     rcnn_train_cfg: RCNNTrainConfig = field(default_factory=RCNNTrainConfig)
@@ -119,6 +133,9 @@ class FasterRCNNDetector:
 
     def _backbone_net_kwargs(self):
         kw = {}
+        if self.head_norm or self.conv_ws or self.bbox_head_convs:
+            kw.update(head_norm=self.head_norm, conv_ws=self.conv_ws,
+                      bbox_head_convs=self.bbox_head_convs)
         if self.loss_cls == 'seesaw':
             kw.update(cls_channels=self.num_classes + 2,
                       normed_temp=20.0)

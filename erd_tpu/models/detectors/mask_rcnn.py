@@ -30,7 +30,9 @@ class MaskRCNNNet(FasterRCNNNet):
 
     def setup(self):
         super().setup()
-        self.mask_head = FCNMaskHead(num_classes=self.num_classes)
+        self.mask_head = FCNMaskHead(num_classes=self.num_classes,
+                                     norm=self.head_norm,
+                                     conv_ws=self.conv_ws)
 
     def mask_forward(self, roi_feats):
         return self.mask_head(roi_feats)

@@ -47,6 +47,9 @@ class GFLNet(nn.Module):
     compute_dtype: Any = jnp.float32
     remat: bool = False
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    # True = DCNv2 (modulated); False = DCNv1 (reference dcn=dict(
+    # type='DCN') vs type='DCNv2' — configs/dcn vs configs/dcnv2)
+    dcn_modulated: bool = True
     context_block_stages: Tuple[bool, ...] = (False, False, False, False)
     context_block_ratio: float = 0.25
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
@@ -72,6 +75,7 @@ class GFLNet(nn.Module):
                 depth=self.depth, compute_dtype=self.compute_dtype,
                 frozen_stages=self.frozen_stages,
                 dcn_stages=self.dcn_stages,
+                dcn_modulated=self.dcn_modulated,
                 context_block_stages=self.context_block_stages,
                 context_block_ratio=self.context_block_ratio,
                 gen_attention_stages=self.gen_attention_stages,
@@ -105,6 +109,7 @@ class GFLDetector:
     compute_dtype: Any = jnp.float32
     remat: bool = False
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
     context_block_stages: Tuple[bool, ...] = (False, False, False, False)
     context_block_ratio: float = 0.25
     gen_attention_stages: Tuple[bool, ...] = (False, False, False, False)
@@ -121,6 +126,7 @@ class GFLDetector:
                           reg_max=self.reg_max,
                           compute_dtype=self.compute_dtype,
                           remat=self.remat, dcn_stages=self.dcn_stages,
+                          dcn_modulated=self.dcn_modulated,
                           context_block_stages=self.context_block_stages,
                           context_block_ratio=self.context_block_ratio,
                           gen_attention_stages=self.gen_attention_stages,

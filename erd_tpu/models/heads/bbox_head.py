@@ -35,13 +35,35 @@ class Shared2FCBBoxHead(nn.Module):
     # cls_predictor_cfg NormedLinear temperature (seesaw configs); 0 =
     # plain Dense
     normed_temp: float = 0.0
+    # Shared4Conv1FCBBoxHead (configs/gn, gn+ws): 4 GN'd 3x3 convs then
+    # ONE shared fc instead of two plain fcs
+    num_shared_convs: int = 0
+    conv_out: int = 256
+    conv_norm: str = ''  # '' | 'gn'
+    conv_ws: bool = False
 
     @nn.compact
     def __call__(self, roi_feats):
         """(R, 7, 7, C) -> (cls (R, C+1 or cls_channels), reg (R, 4C or 4))."""
-        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = roi_feats
+        for i in range(self.num_shared_convs):
+            if self.conv_ws:
+                from ..layers import WSConv
+                x = WSConv(self.conv_out, kernel_size=3, use_bias=False,
+                           name=f'shared_conv{i}')(x)
+            else:
+                x = nn.Conv(self.conv_out, (3, 3),
+                            padding=[(1, 1)] * 2,
+                            use_bias=self.conv_norm != 'gn',
+                            name=f'shared_conv{i}')(x)
+            if self.conv_norm == 'gn':
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 name=f'shared_gn{i}')(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc0')(x))
-        x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc1')(x))
+        if self.num_shared_convs == 0:  # plain Shared2FC default
+            x = nn.relu(nn.Dense(self.fc_dim, name='shared_fc1')(x))
         n_cls = self.cls_channels or self.num_classes + 1
         if self.normed_temp > 0:
             from ..layers import NormedLinear

@@ -19,15 +19,28 @@ class FCNMaskHead(nn.Module):
     num_classes: int
     num_convs: int = 4
     feat_channels: int = 256
+    # configs/gn: mask_head=dict(norm_cfg=GN) — GN(32) after each conv
+    norm: str = ''  # '' | 'gn'
+    conv_ws: bool = False
 
     @nn.compact
     def __call__(self, roi_feats):
         """(R, 14, 14, C_in) -> (R, 28, 28, num_classes) mask logits."""
         x = roi_feats
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.feat_channels, (3, 3),
-                                padding=[torch_pad(3)] * 2,
-                                name=f'conv_{i}')(x))
+            if self.conv_ws:
+                from ..layers import WSConv
+                x = WSConv(self.feat_channels, kernel_size=3,
+                           use_bias=False, name=f'conv_{i}')(x)
+            else:
+                x = nn.Conv(self.feat_channels, (3, 3),
+                            padding=[torch_pad(3)] * 2,
+                            use_bias=self.norm != 'gn',
+                            name=f'conv_{i}')(x)
+            if self.norm == 'gn':
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 name=f'gn_{i}')(x)
+            x = nn.relu(x)
         x = nn.relu(nn.ConvTranspose(self.feat_channels, (2, 2),
                                      strides=(2, 2), name='upsample')(x))
         return nn.Conv(self.num_classes, (1, 1), name='conv_logits')(x)

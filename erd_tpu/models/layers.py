@@ -166,6 +166,7 @@ class WSConv(nn.Module):
     features: int
     kernel_size: int = 3
     strides: int = 1
+    dilation: int = 1
     use_bias: bool = True
     eps: float = 1e-5
 
@@ -175,17 +176,25 @@ class WSConv(nn.Module):
         kernel = self.param('kernel', nn.initializers.he_normal(),
                             (k, k, x.shape[-1], self.features),
                             jnp.float32)
+        # standardization statistics in f32 even when the param tree was
+        # cast to the compute dtype (cast_compute_params); the conv itself
+        # runs in the activation dtype so bf16 stays on the MXU fast path
+        kernel = kernel.astype(jnp.float32)
         mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
         std = kernel.std(axis=(0, 1, 2), keepdims=True)
-        kernel = (kernel - mean) / (std + self.eps)
+        kernel = ((kernel - mean) / (std + self.eps)).astype(x.dtype)
+        pad = self.dilation * (k // 2)
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.float32), kernel,
+            x, kernel,
             window_strides=(self.strides, self.strides),
-            padding=[torch_pad(k)] * 2,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            padding=[(pad, pad)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + self.param('bias', nn.initializers.zeros,
-                               (self.features,), jnp.float32)
+                               (self.features,), jnp.float32).astype(
+                                   jnp.float32)
         return y.astype(x.dtype)
 
 

@@ -12,7 +12,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..layers import nearest_upsample_to, torch_pad
+from ..layers import WSConv, nearest_upsample_to, torch_pad
 
 
 class FPN(nn.Module):
@@ -22,6 +22,25 @@ class FPN(nn.Module):
     start_level: int = 1
     add_extra_convs: str = 'on_output'  # '' | 'on_input' | 'on_output'
     relu_before_extra_convs: bool = False
+    # configs/gn + gn+ws: neck=dict(norm_cfg=GN[, conv_cfg=ConvWS]) —
+    # GN(32) after every lateral/fpn/extra conv, bias absorbed
+    norm: str = ''  # '' | 'gn'
+    conv_ws: bool = False
+
+    def _conv(self, k, stride=1, name=None, dtype=None):
+        if self.conv_ws:
+            return WSConv(self.out_channels, kernel_size=k, strides=stride,
+                          use_bias=not self.norm, name=name)
+        return nn.Conv(self.out_channels, (k, k),
+                       strides=(stride, stride),
+                       padding=[torch_pad(k)] * 2,
+                       use_bias=not self.norm, dtype=dtype, name=name)
+
+    def _norm(self, x, name):
+        if self.norm == 'gn':
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=x.dtype,
+                             name=name)(x)
+        return x
 
     @nn.compact
     def __call__(self, inputs):
@@ -29,8 +48,9 @@ class FPN(nn.Module):
         used = list(range(self.start_level, len(inputs)))
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=inputs[i].dtype,
-                    name=f'lateral_{i}')(inputs[i])
+            self._norm(self._conv(1, dtype=inputs[i].dtype,
+                                  name=f'lateral_{i}')(inputs[i]),
+                       f'lateral_gn_{i}')
             for i in used
         ]
 
@@ -41,9 +61,9 @@ class FPN(nn.Module):
                 laterals[i], target_hw)
 
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[torch_pad(3)] * 2,
-                    dtype=laterals[j].dtype,
-                    name=f'fpn_conv_{j}')(laterals[j])
+            self._norm(self._conv(3, dtype=laterals[j].dtype,
+                                  name=f'fpn_conv_{j}')(laterals[j]),
+                       f'fpn_gn_{j}')
             for j in range(len(laterals))
         ]
 
@@ -61,8 +81,8 @@ class FPN(nn.Module):
                         src = outs[-1]
                         if self.relu_before_extra_convs:
                             src = nn.relu(src)
-                    outs.append(
-                        nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                padding=[torch_pad(3)] * 2, dtype=src.dtype,
-                                name=f'extra_conv_{k}')(src))
+                    outs.append(self._norm(
+                        self._conv(3, stride=2, dtype=src.dtype,
+                                   name=f'extra_conv_{k}')(src),
+                        f'extra_gn_{k}'))
         return tuple(outs)

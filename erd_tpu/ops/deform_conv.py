@@ -53,16 +53,19 @@ def _bilinear_zero(img, ys, xs):
 
 
 def deform_conv2d(x, offset, weight, mask=None, stride=1, padding=1,
-                  dilation=1, deform_groups=1, bias=None):
+                  dilation=1, deform_groups=1, bias=None, conv_groups=1):
     """One image. NHWC layout.
 
     Args:
         x: (H, W, Cin).
         offset: (Ho, Wo, dg, K*K, 2) learned (dy, dx) per kernel point.
-        weight: (K, K, Cin, Cout) conv kernel.
+        weight: (K, K, Cin // conv_groups, Cout) conv kernel.
         mask: optional (Ho, Wo, dg, K*K) modulation (already sigmoided)
             for DCNv2; None = DCNv1.
         stride/padding/dilation: ints (square).
+        conv_groups: grouped-conv width (ResNeXt's grouped deformable 3x3,
+            torch Conv2d ``groups`` semantics: output block g reads input
+            block g). The GEMM becomes one (G,)-batched matmul.
     Returns (Ho, Wo, Cout).
     """
     k = weight.shape[0]
@@ -91,11 +94,27 @@ def deform_conv2d(x, offset, weight, mask=None, stride=1, padding=1,
             samp = samp * mask[:, :, g, :, None]
         patches.append(samp)
     patches = jnp.concatenate(patches, axis=-1) if dg > 1 else patches[0]
-    # (Ho, Wo, K*K, Cin) -> (Ho*Wo, K*K*Cin) @ (K*K*Cin, Cout): one MXU GEMM
-    flat = patches.reshape(ho * wo, k * k * cin)
-    wmat = weight.reshape(k * k * cin, -1)
-    out = jnp.dot(flat, wmat,
-                  preferred_element_type=jnp.float32).reshape(ho, wo, -1)
+    if conv_groups == 1:
+        # (Ho, Wo, K*K, Cin) -> (Ho*Wo, K*K*Cin) @ (K*K*Cin, Cout):
+        # one MXU GEMM
+        flat = patches.reshape(ho * wo, k * k * cin)
+        wmat = weight.reshape(k * k * cin, -1)
+        out = jnp.dot(flat, wmat,
+                      preferred_element_type=jnp.float32).reshape(ho, wo, -1)
+    else:
+        g = conv_groups
+        cg = cin // g
+        cout = weight.shape[-1]
+        cog = cout // g
+        assert cin % g == 0 and cout % g == 0 and weight.shape[2] == cg
+        # (Ho*Wo, K*K, G, cg) -> (G, Ho*Wo, K*K*cg)
+        pg = patches.reshape(ho * wo, k * k, g, cg).transpose(2, 0, 1, 3) \
+            .reshape(g, ho * wo, k * k * cg)
+        # (K, K, cg, G*cog) -> (G, K*K*cg, cog)
+        wg = weight.reshape(k * k, cg, g, cog).transpose(2, 0, 1, 3) \
+            .reshape(g, k * k * cg, cog)
+        out = jnp.matmul(pg, wg, preferred_element_type=jnp.float32)
+        out = out.transpose(1, 0, 2).reshape(ho, wo, cout)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
@@ -117,6 +136,7 @@ class ModulatedDeformConv(nn.Module):
     deform_groups: int = 1
     modulated: bool = True
     use_bias: bool = False
+    feature_group_count: int = 1  # torch Conv2d groups (ResNeXt)
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, Cin)
@@ -138,7 +158,8 @@ class ModulatedDeformConv(nn.Module):
 
         weight = self.param(
             'kernel', nn.initializers.he_normal(),
-            (k, k, x.shape[-1], self.features), jnp.float32)
+            (k, k, x.shape[-1] // self.feature_group_count, self.features),
+            jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
             if self.use_bias else None
@@ -148,7 +169,8 @@ class ModulatedDeformConv(nn.Module):
                                  mask=mi, stride=self.strides,
                                  padding=self.dilation * (k // 2),
                                  dilation=self.dilation,
-                                 deform_groups=dg, bias=bias)
+                                 deform_groups=dg, bias=bias,
+                                 conv_groups=self.feature_group_count)
 
         if mask is None:
             out = jax.vmap(lambda xi, oi: single(xi, oi, None))(x, offset)

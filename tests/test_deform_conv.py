@@ -123,6 +123,60 @@ def test_dcn_gradients_flow_to_offsets():
     assert float(jnp.abs(g['kernel']).sum()) > 0
 
 
+def test_grouped_deform_conv_matches_per_group_runs():
+    """conv_groups=G (ResNeXt's grouped deformable 3x3) == concatenating
+    independent per-group deform convs over the channel slices."""
+    rs = np.random.RandomState(4)
+    h, w, cin, cout, k, g = 7, 8, 8, 6, 3, 2
+    x = rs.randn(h, w, cin).astype(np.float32)
+    offset = (rs.randn(h, w, 1, k * k, 2) * 1.5).astype(np.float32)
+    mask = rs.rand(h, w, 1, k * k).astype(np.float32)
+    weight = rs.randn(k, k, cin // g, cout).astype(np.float32)
+
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+        jnp.asarray(mask), conv_groups=g))
+
+    cg, cog = cin // g, cout // g
+    parts = [np.asarray(deform_conv2d(
+        jnp.asarray(x[..., i * cg:(i + 1) * cg]), jnp.asarray(offset),
+        jnp.asarray(weight[..., i * cog:(i + 1) * cog]), jnp.asarray(mask)))
+        for i in range(g)]
+    want = np.concatenate(parts, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_zero_offset_equals_plain_grouped_conv():
+    rs = np.random.RandomState(5)
+    g = 4
+    x = rs.randn(6, 7, 8).astype(np.float32)
+    weight = rs.randn(3, 3, 2, 8).astype(np.float32)  # cin/g = 2
+    offset = np.zeros((6, 7, 1, 9, 2), np.float32)
+    got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(weight), conv_groups=g))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(weight), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=g)[0]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_resnext_dcn_stages():
+    from erd_tpu.models.backbones.resnext import ResNeXt
+    net = ResNeXt(depth=50, groups=32, base_width=4,
+                  dcn_stages=(False, False, True, True))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    p = variables['params']
+    assert 'conv_offset' in p['layer3_block0']['conv2']
+    assert 'conv_offset' not in p['layer2_block0'].get('conv2', {})
+    # grouped kernel layout: (K, K, width/groups, width)
+    k3 = p['layer3_block0']['conv2']['kernel']
+    assert k3.shape == (3, 3, 512 // 32, 512)
+    outs = jax.jit(net.apply)(variables, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
 def test_resnet_dcn_stages():
     from erd_tpu.models.backbones.resnet import ResNet
     net = ResNet(depth=50, dcn_stages=(False, False, True, True))
