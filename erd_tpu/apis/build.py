@@ -594,6 +594,7 @@ def build_trainer(cfg: Config, detector, train_loader, num_devices=1,
         auto_scale_base_batch=base_batch,
         grad_clip=optim.get('grad_clip'),
         log_interval=cfg.get('log_interval', 50),
+        loss_sampling=cfg.get('loss_sampling', 'sampled'),
         ckpt_dir=os.path.join(cfg.get('work_dir', 'work_dirs'),
                               cfg.get('experiment', 'exp')),
         ckpt_interval_epochs=cfg.get('ckpt_interval_epochs', 1),

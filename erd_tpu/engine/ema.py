@@ -42,6 +42,9 @@ class MeanTeacherHook(Hook):
     def before_train(self, trainer):
         trainer.ema_params = None
 
+    def wants_losses(self, step):
+        return False
+
     def after_iter(self, trainer, step, losses):
         if (step + 1) % self.interval:
             return

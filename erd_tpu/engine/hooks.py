@@ -28,7 +28,20 @@ class Hook:
         """Called before the epoch with 0-based index ``epoch`` runs."""
         pass
 
+    def wants_losses(self, step) -> bool:
+        """Whether after_iter needs host loss scalars at this step.
+
+        The trainer materializes loss values only on steps where some
+        hook answers True: on the remaining steps it runs a grad-only
+        jitted step whose primal loss reductions XLA dead-code-eliminates
+        (measured ~15% faster at ERD bs=16; see TrainerConfig
+        .loss_sampling). Conservative default: True (a custom hook that
+        reads ``losses`` keeps every-iter semantics automatically).
+        """
+        return True
+
     def after_iter(self, trainer, step, losses: Dict[str, float]):
+        """``losses`` is {} on steps where no hook wanted them."""
         pass
 
     def after_epoch(self, trainer, epoch):
@@ -40,12 +53,23 @@ class Hook:
 
 
 class LoggerHook(Hook):
-    """Windowed loss/throughput logging (LogProcessor window=50 analogue)."""
+    """Windowed loss/throughput logging (LogProcessor window=50 analogue).
 
-    def __init__(self, interval=50, window=50, json_path=None):
+    ``sampled=True`` (default, matches TrainerConfig.loss_sampling
+    'sampled'): loss values are requested only on log iterations, so the
+    printed loss is the point value at the log step rather than the
+    reference's 50-iter window mean — the price of letting XLA DCE the
+    primal loss reductions on the other 49 steps. ``sampled=False``
+    restores the every-iter window mean. Iter TIMING is always windowed
+    (it costs nothing).
+    """
+
+    def __init__(self, interval=50, window=50, json_path=None,
+                 sampled=True):
         self.interval = interval
         self.window = window
         self.json_path = json_path
+        self.sampled = sampled
         self._times = deque(maxlen=window)
         self._losses = deque(maxlen=window)
         self._t0 = None
@@ -53,15 +77,22 @@ class LoggerHook(Hook):
     def before_train(self, trainer):
         self._t0 = time.perf_counter()
 
+    def wants_losses(self, step):
+        return (not self.sampled) or (step + 1) % self.interval == 0
+
     def after_iter(self, trainer, step, losses):
         t = time.perf_counter()
         self._times.append(t - self._t0)
         self._t0 = t
-        self._losses.append(losses)
-        if (step + 1) % self.interval == 0:
+        if losses:
+            self._losses.append(losses)
+        if (step + 1) % self.interval == 0 and self._losses:
             avg_t = float(np.mean(self._times))
             keys = self._losses[-1].keys()
-            avg = {k: float(np.mean([d[k] for d in self._losses]))
+            # sampled mode: the point value at this log step; otherwise
+            # the window mean over every iter's losses
+            pool = [self._losses[-1]] if self.sampled else self._losses
+            avg = {k: float(np.mean([d[k] for d in pool if k in d]))
                    for k in keys}
             lr = trainer.current_lr(step)
             ips = trainer.global_batch_size / max(avg_t, 1e-9)
@@ -82,8 +113,11 @@ class CheckInvalidLossHook(Hook):
     def __init__(self, interval=50):
         self.interval = interval
 
+    def wants_losses(self, step):
+        return (step + 1) % self.interval == 0
+
     def after_iter(self, trainer, step, losses):
-        if (step + 1) % self.interval == 0:
+        if (step + 1) % self.interval == 0 and losses:
             total = sum(losses.values())
             if not np.isfinite(total):
                 raise FloatingPointError(
@@ -97,6 +131,9 @@ class NumClassCheckHook(Hook):
     def __init__(self, dataset, expected_num_classes=None):
         self.dataset = dataset
         self.expected = expected_num_classes
+
+    def wants_losses(self, step):
+        return False
 
     def before_train(self, trainer):
         model_classes = self.expected
@@ -122,6 +159,9 @@ class PipelineSwitchHook(Hook):
         self.new_pipeline = new_pipeline
         self._done = False
 
+    def wants_losses(self, step):
+        return False
+
     def before_epoch(self, trainer, epoch):
         # reference fires in before_train_epoch when runner.epoch ==
         # switch_epoch, so the new pipeline is active FOR epoch index
@@ -144,6 +184,9 @@ class YOLOXModeSwitchHook(Hook):
         self.new_pipeline = new_pipeline
         self._done = False
 
+    def wants_losses(self, step):
+        return False
+
     def before_epoch(self, trainer, epoch):
         import jax
 
@@ -159,10 +202,10 @@ class YOLOXModeSwitchHook(Hook):
             trainer.det.l1_loss_weight = 1.0
             # the flag is read at TRACE time inside the compiled train
             # step, so flipping the attribute alone is a no-op for the
-            # already-jitted step — rebuild it to force a fresh trace
-            if hasattr(trainer, '_step_impl'):
-                trainer._train_step = jax.jit(
-                    trainer._step_impl, donate_argnums=(0, 1))
+            # already-jitted steps — rebuild BOTH variants (full + light)
+            # to force fresh traces
+            if hasattr(trainer, '_build_train_steps'):
+                trainer._build_train_steps()
             if hasattr(trainer.det, 'loss_jit'):
                 trainer.det.loss_jit = jax.jit(trainer.det.loss)
         self._done = True
@@ -180,6 +223,9 @@ class TeacherStudentValHook(Hook):
     def __init__(self, interval=1):
         self.interval = interval
 
+    def wants_losses(self, step):
+        return False
+
     def after_epoch(self, trainer, epoch):
         tv = getattr(trainer, 'teacher_variables', None)
         if (tv is None or getattr(trainer, 'val_fn', None) is None or
@@ -193,6 +239,9 @@ class TeacherStudentValHook(Hook):
 
 class SetEpochInfoHook(Hook):
     """Expose the current epoch on the trainer (set_epoch_info_hook.py)."""
+
+    def wants_losses(self, step):
+        return False
 
     def after_epoch(self, trainer, epoch):
         trainer.epoch = epoch + 1
@@ -213,6 +262,9 @@ class DetVisualizationHook(Hook):
         self.class_names = class_names
         self.score_thr = score_thr
         self.max_images = max_images
+
+    def wants_losses(self, step):
+        return False
 
     def after_epoch(self, trainer, epoch):
         import os
@@ -239,6 +291,9 @@ class MemoryReportHook(Hook):
 
     def __init__(self, interval=500):
         self.interval = interval
+
+    def wants_losses(self, step):
+        return False
 
     def after_iter(self, trainer, step, losses):
         if (step + 1) % self.interval == 0:
@@ -279,17 +334,20 @@ class TensorboardLoggerHook(Hook):
     def before_train(self, trainer):
         self._t0 = time.perf_counter()
 
+    def wants_losses(self, step):
+        return (step + 1) % self.interval == 0
+
     def after_iter(self, trainer, step, losses):
         t = time.perf_counter()
         self._times.append(t - self._t0)
         self._t0 = t
-        self._losses.append(losses)
-        if (step + 1) % self.interval == 0:
+        if losses:
+            self._losses.append(losses)
+        if (step + 1) % self.interval == 0 and self._losses:
             w = self._w()
             g = step + 1
             for k in self._losses[-1]:
-                w.add_scalar(f'train/{k}', float(np.mean(
-                    [d[k] for d in self._losses])), g)
+                w.add_scalar(f'train/{k}', float(self._losses[-1][k]), g)
             w.add_scalar('train/lr', trainer.current_lr(step), g)
             w.add_scalar('train/images_per_sec',
                          trainer.global_batch_size /

@@ -53,6 +53,13 @@ class TrainerConfig:
     grad_clip: Optional[float] = None
     param_sharding: str = 'replicated'  # 'replicated' (DDP) | 'fsdp'
     log_interval: int = 50
+    # 'sampled' (default): loss scalars are materialized only on steps
+    # where some hook wants them (log/NaN-check iterations); on the other
+    # steps a grad-only jitted step runs and XLA dead-code-eliminates the
+    # primal loss reductions (~15% faster at ERD bs=16 — the torch
+    # reference necessarily pays the primal every step, a TPU/XLA-only
+    # win). 'every_iter' restores reference-exact windowed loss logging.
+    loss_sampling: str = 'sampled'
     ckpt_dir: Optional[str] = None
     ckpt_interval_epochs: int = 1
     val_interval: int = 1
@@ -88,7 +95,9 @@ class Trainer:
         self.teacher_variables = teacher_variables
         self.val_fn = val_fn
         self.hooks = hooks if hooks is not None else [
-            LoggerHook(cfg.log_interval), CheckInvalidLossHook()]
+            LoggerHook(cfg.log_interval,
+                       sampled=cfg.loss_sampling == 'sampled'),
+            CheckInvalidLossHook()]
 
         self.global_batch_size = train_loader.cfg.batch_size
         self.steps_per_epoch = train_loader.steps_per_epoch(0)
@@ -126,10 +135,32 @@ class Trainer:
                                     cfg.weight_decay, cfg.frozen_stages,
                                     cfg.grad_clip,
                                     backbone_lr_mult=cfg.backbone_lr_mult)
-        self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        self._build_train_steps()
+
+    def _build_train_steps(self, pin=None):
+        """(Re)jit the two train-step variants.
+
+        ``_train_step`` materializes the per-loss scalars (log/NaN-check
+        iterations); ``_train_step_light`` returns an empty loss dict so
+        XLA dead-code-eliminates every primal loss reduction the backward
+        pass does not need — measured ~15% faster on the ERD step at
+        bs=16. ``pin`` optionally wraps the step with output-sharding
+        constraints (FSDP donation).
+        """
+        def make(with_losses):
+            def step(params, opt_state, consts, batch, teacher):
+                return self._step_impl(params, opt_state, consts, batch,
+                                       teacher, with_losses)
+            if pin is not None:
+                step = pin(step)
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        self._train_step = make(True)
+        self._train_step_light = make(False)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, params, opt_state, consts, batch, teacher):
+    def _step_impl(self, params, opt_state, consts, batch, teacher,
+                   with_losses=True):
         stateful = hasattr(self.det, 'loss_and_state')
 
         def loss_fn(p):
@@ -147,9 +178,12 @@ class Trainer:
                     if teacher is not None else \
                     self.det.loss(variables, batch)
                 new_consts = consts
-            return sum(jax.tree.leaves(losses)), (losses, new_consts)
+            # dropping the loss dict from the outputs lets XLA DCE the
+            # primal reductions (backward needs only their cotangents)
+            return (sum(jax.tree.leaves(losses)),
+                    (losses if with_losses else {}, new_consts))
 
-        (_, (losses, new_consts)), grads = jax.value_and_grad(
+        grads, (losses, new_consts) = jax.grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -180,14 +214,15 @@ class Trainer:
             psh = jax.tree.map(lambda x: x.sharding, params)
             osh = jax.tree.map(lambda x: x.sharding, opt_state)
 
-            def _pinned_step(p, o, c, b, t):
-                p2, o2, losses, c2 = self._step_impl(p, o, c, b, t)
-                p2 = jax.lax.with_sharding_constraint(p2, psh)
-                o2 = jax.lax.with_sharding_constraint(o2, osh)
-                return p2, o2, losses, c2
+            def pin(step_fn):
+                def _pinned(p, o, c, b, t):
+                    p2, o2, losses, c2 = step_fn(p, o, c, b, t)
+                    p2 = jax.lax.with_sharding_constraint(p2, psh)
+                    o2 = jax.lax.with_sharding_constraint(o2, osh)
+                    return p2, o2, losses, c2
+                return _pinned
 
-            self._train_step = jax.jit(_pinned_step,
-                                       donate_argnums=(0, 1))
+            self._build_train_steps(pin=pin)
         else:
             params = replicate(params, self.mesh)
             consts = replicate(consts, self.mesh)
@@ -218,7 +253,13 @@ class Trainer:
                 h.before_epoch(self, epoch)
             for batch in self.loader.epoch(epoch):
                 batch = shard_batch(batch, self.mesh)
-                params, opt_state, losses, consts = self._train_step(
+                # grad-only step unless a hook consumes losses this iter;
+                # skipping the host float() sync on those steps also lets
+                # dispatch run ahead of the device
+                want = any(h.wants_losses(step) for h in self.hooks)
+                step_fn = (self._train_step if want
+                           else self._train_step_light)
+                params, opt_state, losses, consts = step_fn(
                     params, opt_state, consts, batch, teacher)
                 self.latest_params = params  # hooks (e.g. EMA) read this
                 host_losses = {k: float(v) for k, v in losses.items()}
