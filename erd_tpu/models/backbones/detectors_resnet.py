@@ -50,11 +50,14 @@ class SAConv(nn.Module):
         x = x + pre
 
         def conv(w, d):
+            # conv in the activation dtype (cast_compute_params may hand
+            # the kernels in bf16) with f32 accumulation
             return jax.lax.conv_general_dilated(
-                x.astype(jnp.float32), w,
+                x, w.astype(x.dtype),
                 window_strides=(self.stride, self.stride),
                 padding=[(d, d), (d, d)], rhs_dilation=(d, d),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
 
         y1 = conv(weight, 1)
         y3 = conv(weight + delta, 3)

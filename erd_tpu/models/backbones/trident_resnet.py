@@ -35,11 +35,14 @@ class TridentConv(nn.Module):
                             jnp.float32)
         outs = []
         for x, d in zip(xs, self.dilations):
+            # conv runs in the activation dtype (cast_compute_params may
+            # hand the kernel in bf16) with f32 accumulation
             y = jax.lax.conv_general_dilated(
-                x.astype(jnp.float32), weight,
+                x, weight.astype(x.dtype),
                 window_strides=(self.stride, self.stride),
                 padding=[(d, d), (d, d)], rhs_dilation=(d, d),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
             outs.append(y.astype(x.dtype))
         return outs
 

@@ -67,9 +67,15 @@ def _flagship(family):
     return sorted(glob.glob(os.path.join(CFG_ROOT, family, '*.py')))[0]
 
 
+# model types whose dedicated backbones are bottleneck-only (no depth-18
+# arch entry): DetectoRSResNet / TridentResNet define ARCH = {50, 101}
+_BOTTLENECK_ONLY = {'DetectoRS', 'TridentFasterRCNN'}
+
+
 def _shrink(model_cfg):
     """Capacity-only shrink; train_cfg/test_cfg/loss knobs stay exact."""
-    if 'backbone' not in model_cfg and model_cfg.get('depth', 50) > 18:
+    if ('backbone' not in model_cfg and model_cfg.get('depth', 50) > 18
+            and model_cfg.get('type') not in _BOTTLENECK_ONLY):
         model_cfg['depth'] = 18
     return model_cfg
 
