@@ -271,18 +271,28 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
             test_cfg=test_cfg, **base)
     if mtype == 'YOLOX':
         base.pop('depth')
-        return YOLOXDetector(test_cfg=test_cfg, **base)
+        # size ladder (tiny/s/m/l/x) via deepen/widen factors — see
+        # YOLOXNet; reference configs/yolox/*.py deepen_factor/widen_factor
+        return YOLOXDetector(
+            deepen=float(model_cfg.get('deepen', 0.33)),
+            widen=float(model_cfg.get('widen', 0.5)),
+            test_cfg=test_cfg, **base)
     if mtype == 'DETR':
         return DETRDetector(
             num_queries=model_cfg.get('num_queries', 100),
             max_per_img=test.get('max_per_img', 100), **base)
     if mtype == 'RTMDet':
         base.pop('depth')
-        return RTMDetDetector(test_cfg=test_cfg, **base)
+        return RTMDetDetector(
+            deepen=float(model_cfg.get('deepen', 0.33)),
+            widen=float(model_cfg.get('widen', 0.5)),
+            test_cfg=test_cfg, **base)
     if mtype == 'RTMDetIns':
         from ..models.detectors.rtmdet_ins import RTMDetInsDetector
         base.pop('depth')
         return RTMDetInsDetector(
+            deepen=float(model_cfg.get('deepen', 0.33)),
+            widen=float(model_cfg.get('widen', 0.5)),
             mask_thr_binary=test.get('mask_thr_binary', 0.5),
             test_cfg=test_cfg, **base)
     if mtype == 'DeformableDETR':

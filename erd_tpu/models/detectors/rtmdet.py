@@ -140,27 +140,32 @@ class RTMDetHeadNet(nn.Module):
 
 class CSPNeXtPAFPN(nn.Module):
     """CSP-PAFPN neck over (c3, c4, c5), projected to a common width
-    (c3's channel count). Shared by RTMDet and RTMDet-Ins."""
+    (c3's channel count). Shared by RTMDet and RTMDet-Ins.
+
+    ``num_csp_blocks`` follows the size ladder (round(3 * deepen) in the
+    reference configs; 1 for the -s default)."""
+    num_csp_blocks: int = 1
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         c3, c4, c5 = feats
+        nb = self.num_csp_blocks
         p5 = ConvBNSiLU(c4.shape[-1], 1, name='reduce1')(c5, train)
         u = nearest_upsample_to(p5, c4.shape[-3:-1])
-        p4 = CSPNeXtLayer(c4.shape[-1], 1, shortcut=False,
+        p4 = CSPNeXtLayer(c4.shape[-1], nb, shortcut=False,
                           name='td_csp1')(jnp.concatenate([u, c4], -1),
                                           train)
         p4r = ConvBNSiLU(c3.shape[-1], 1, name='reduce2')(p4, train)
         u = nearest_upsample_to(p4r, c3.shape[-3:-1])
-        p3 = CSPNeXtLayer(c3.shape[-1], 1, shortcut=False,
+        p3 = CSPNeXtLayer(c3.shape[-1], nb, shortcut=False,
                           name='td_csp2')(jnp.concatenate([u, c3], -1),
                                           train)
         d3 = ConvBNSiLU(c3.shape[-1], 3, stride=2, name='down1')(p3, train)
-        n4 = CSPNeXtLayer(c4.shape[-1], 1, shortcut=False,
+        n4 = CSPNeXtLayer(c4.shape[-1], nb, shortcut=False,
                           name='bu_csp1')(jnp.concatenate([d3, p4r], -1),
                                           train)
         d4 = ConvBNSiLU(c4.shape[-1], 3, stride=2, name='down2')(n4, train)
-        n5 = CSPNeXtLayer(c5.shape[-1], 1, shortcut=False,
+        n5 = CSPNeXtLayer(c5.shape[-1], nb, shortcut=False,
                           name='bu_csp2')(jnp.concatenate([d4, p5], -1),
                                           train)
         width = c3.shape[-1]
@@ -171,12 +176,19 @@ class CSPNeXtPAFPN(nn.Module):
 class RTMDetNet(nn.Module):
     num_classes: int
     compute_dtype: Any = jnp.float32
+    # size ladder (reference configs/rtmdet/rtmdet_{tiny,s,m,l,x}_*.py):
+    # tiny (0.167, 0.375), s (0.33, 0.5), m (0.67, 0.75), l (1.0, 1.0),
+    # x (1.33, 1.25); neck block count and head width follow
+    deepen: float = 0.33
+    widen: float = 0.5
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feats = CSPNeXt(compute_dtype=self.compute_dtype,
+        feats = CSPNeXt(deepen=self.deepen, widen=self.widen,
+                        compute_dtype=self.compute_dtype,
                         name='backbone')(images, train)
-        levels = CSPNeXtPAFPN(name='neck')(feats, train)
+        levels = CSPNeXtPAFPN(num_csp_blocks=max(round(3 * self.deepen), 1),
+                              name='neck')(feats, train)
         return RTMDetHeadNet(num_classes=self.num_classes,
                              feat_channels=levels[0].shape[-1],
                              name='bbox_head')(levels, train)
@@ -257,9 +269,12 @@ class RTMDetDetector:
     test_cfg: GFLTestConfig = field(
         default_factory=lambda: GFLTestConfig(score_thr=0.05,
                                               iou_threshold=0.65))
+    deepen: float = 0.33  # rtmdet-s; see RTMDetNet for the size ladder
+    widen: float = 0.5
 
     def __post_init__(self):
         self.net = RTMDetNet(num_classes=self.num_classes,
+                             deepen=self.deepen, widen=self.widen,
                              compute_dtype=self.compute_dtype)
         self._ctx_cache: Dict[Tuple[int, int], YOLOXContext] = {}
         self.loss_jit = jax.jit(self.loss)

@@ -112,12 +112,18 @@ class MaskFeatModule(nn.Module):
 class RTMDetInsNet(nn.Module):
     num_classes: int
     compute_dtype: Any = jnp.float32
+    deepen: float = 0.33  # rtmdet-s ladder; see rtmdet.RTMDetNet
+    widen: float = 0.5
 
     def setup(self):
-        self.backbone = CSPNeXt(compute_dtype=self.compute_dtype)
-        self.neck = CSPNeXtPAFPN()
-        self.bbox_head = RTMDetInsHeadNet(num_classes=self.num_classes)
-        self.mask_head = MaskFeatModule()
+        self.backbone = CSPNeXt(deepen=self.deepen, widen=self.widen,
+                                compute_dtype=self.compute_dtype)
+        self.neck = CSPNeXtPAFPN(
+            num_csp_blocks=max(round(3 * self.deepen), 1))
+        head_ch = max(int(256 * self.widen), 16)
+        self.bbox_head = RTMDetInsHeadNet(num_classes=self.num_classes,
+                                          feat_channels=head_ch)
+        self.mask_head = MaskFeatModule(feat_channels=head_ch)
 
     def __call__(self, images, train: bool = False):
         levels = self.neck(self.backbone(images, train), train)
@@ -172,9 +178,12 @@ class RTMDetInsDetector:
     test_cfg: GFLTestConfig = field(
         default_factory=lambda: GFLTestConfig(score_thr=0.05,
                                               iou_threshold=0.6))
+    deepen: float = 0.33  # rtmdet-s; see rtmdet.RTMDetNet size ladder
+    widen: float = 0.5
 
     def __post_init__(self):
         self.net = RTMDetInsNet(num_classes=self.num_classes,
+                                deepen=self.deepen, widen=self.widen,
                                 compute_dtype=self.compute_dtype)
         self._ctx_cache: Dict[Tuple[int, int], YOLOXContext] = {}
         self.loss_jit = jax.jit(self.loss)

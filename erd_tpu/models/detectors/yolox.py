@@ -87,13 +87,22 @@ class YOLOXHeadNet(nn.Module):
 class YOLOXNet(nn.Module):
     num_classes: int
     compute_dtype: Any = jnp.float32
+    # size ladder (reference configs/yolox/yolox_{tiny,s,m,l,x}_*.py:
+    # deepen_factor/widen_factor on the backbone; the PAFPN block count
+    # and head width follow them): tiny (0.33, 0.375), s (0.33, 0.5),
+    # m (0.67, 0.75), l (1.0, 1.0), x (1.33, 1.25)
+    deepen: float = 0.33
+    widen: float = 0.5
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feats = CSPDarknet(compute_dtype=self.compute_dtype,
+        feats = CSPDarknet(deepen=self.deepen, widen=self.widen,
+                           compute_dtype=self.compute_dtype,
                            name='backbone')(images, train)
-        feats = YOLOXPAFPN(name='neck')(feats, train)
+        feats = YOLOXPAFPN(num_csp_blocks=max(round(3 * self.deepen), 1),
+                           name='neck')(feats, train)
         return YOLOXHeadNet(num_classes=self.num_classes,
+                            feat_channels=max(int(256 * self.widen), 16),
                             name='bbox_head')(feats, train)
 
 
@@ -144,9 +153,12 @@ class YOLOXDetector:
         default_factory=lambda: GFLTestConfig(score_thr=0.01,
                                               iou_threshold=0.65))
     l1_loss_weight: float = 0.0  # enabled in the last epochs by recipes
+    deepen: float = 0.33  # yolox-s; see YOLOXNet for the size ladder
+    widen: float = 0.5
 
     def __post_init__(self):
         self.net = YOLOXNet(num_classes=self.num_classes,
+                            deepen=self.deepen, widen=self.widen,
                             compute_dtype=self.compute_dtype)
         self._ctx_cache: Dict[Tuple[int, int], YOLOXContext] = {}
         self.loss_jit = jax.jit(self.loss)
