@@ -79,7 +79,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         min_bbox_size=test.get('min_bbox_size', 0.0),
         # default matches GFLTestConfig (2000; A/B-measured loss-free vs
         # uncapped NMS, docs/ROUND2.md "pre_nms_total cap")
-        pre_nms_total=test.get('pre_nms_total', 2000))
+        pre_nms_total=test.get('pre_nms_total', 2000),
+        # soft-NMS (reference test_cfg nms=dict(type='soft_nms', ...))
+        nms_type=test.get('nms_type', 'nms'),
+        soft_nms_method=test.get('soft_nms_method', 'linear'),
+        soft_nms_sigma=test.get('soft_nms_sigma', 0.5),
+        soft_nms_min_score=test.get('soft_nms_min_score', 1e-3))
     gfl_common = dict(
         reg_max=model_cfg.get('reg_max', 16),
         train_cfg=GFLTrainConfig(
@@ -134,6 +139,13 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         if model_cfg.get('bbox_head') == 'Shared4Conv1FCBBoxHead':
             base['bbox_head_convs'] = 4
     if mtype == 'FasterRCNN':
+        if train.get('rcnn_sampler'):
+            # train_cfg=dict(rcnn_sampler='ohem') — the reference's
+            # train_cfg.rcnn.sampler.type='OHEMSampler'
+            # (configs/faster_rcnn/faster-rcnn_r50_fpn_ohem_1x_coco.py)
+            from ..models.heads.bbox_head import RCNNTrainConfig
+            base['rcnn_train_cfg'] = RCNNTrainConfig(
+                sampler=train['rcnn_sampler'])
         return FasterRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'MaskRCNN':
         if model_cfg.get('loss_cls') == 'seesaw':
@@ -150,7 +162,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         return CentripetalNetDetector(
             corner_topk=test.get('corner_topk', 100),
             score_thr=test.get('score_thr', 0.05),
-            max_per_img=test.get('max_per_img', 100), **base)
+            max_per_img=test.get('max_per_img', 100),
+            nms_type=test.get('nms_type', 'soft_nms'),
+            soft_nms_sigma=test.get('soft_nms_sigma', 0.5), **base)
     if mtype == 'DetectoRS':
         from ..models.detectors.detectors_rcnn import (
             DetectoRSFasterRCNNDetector)
@@ -261,6 +275,10 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
     if mtype == 'CascadeRCNN':
         from ..models.detectors.cascade_rcnn import CascadeRCNNDetector
         return CascadeRCNNDetector(test_cfg=test_cfg, **base)
+    if mtype == 'CascadeMaskRCNN':
+        from ..models.detectors.cascade_mask_rcnn import (
+            CascadeMaskRCNNDetector)
+        return CascadeMaskRCNNDetector(test_cfg=test_cfg, **base)
     if mtype == 'YOLOV3':
         base.pop('depth')
         return YOLOV3Detector(test_cfg=test_cfg, **base)
@@ -268,6 +286,12 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
         base.pop('depth')
         return SSDDetector(
             input_size=model_cfg.get('input_size', 300),
+            test_cfg=test_cfg, **base)
+    if mtype == 'SSDLite':
+        from ..models.detectors.ssd import SSDLiteDetector
+        base.pop('depth')
+        return SSDLiteDetector(
+            input_size=model_cfg.get('input_size', 320),
             test_cfg=test_cfg, **base)
     if mtype == 'YOLOX':
         base.pop('depth')
@@ -414,7 +438,9 @@ def build_detector(model_cfg: Config, num_devices: int = 1):
             distance_threshold=test.get('distance_threshold', 0.5),
             score_thr=test.get('score_thr', 0.05),
             max_per_img=test.get('max_per_img', 100),
-            nms_iou=test.get('nms_iou_threshold', 0.5), **base)
+            nms_iou=test.get('nms_iou_threshold', 0.5),
+            nms_type=test.get('nms_type', 'soft_nms'),
+            soft_nms_sigma=test.get('soft_nms_sigma', 0.5), **base)
     if mtype == 'DDOD':
         from ..models.detectors.ddod import DDODDetector
         return DDODDetector(use_dcn=model_cfg.get('use_dcn', True),

@@ -34,8 +34,23 @@ class L2Norm(nn.Module):
         return x / norm * scale.astype(x.dtype)
 
 
+#: SSD extra-stack recipes keyed by input size
+#: (mid, out, stride, pad, kernel) per pair — mirrors the SSDNeck configs
+#: (reference configs/ssd/ssd300_coco.py neck out_channels/strides/paddings
+#: and ssd512_coco.py: one more s2 pair + a final 4x4/s1/p1 conv,
+#: mid = out_channel // 2 per mmdet/models/necks/ssd_neck.py:75-89).
+EXTRA_CFG = {
+    300: ((256, 512, 2, 1, 3), (128, 256, 2, 1, 3),
+          (128, 256, 1, 0, 3), (128, 256, 1, 0, 3)),
+    512: ((256, 512, 2, 1, 3), (128, 256, 2, 1, 3),
+          (128, 256, 2, 1, 3), (128, 256, 2, 1, 3),
+          (128, 256, 1, 1, 4)),
+}
+
+
 class SSDVGG(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
+    input_size: int = 300
 
     @nn.compact
     def __call__(self, x):
@@ -62,13 +77,12 @@ class SSDVGG(nn.Module):
                             kernel_dilation=(6, 6), name='fc6')(x))
         x = nn.relu(nn.Conv(1024, (1, 1), name='fc7')(x))
         outs.append(x)
-        # extras: (1x1 reduce, 3x3) pairs; first two stride 2 padded, last
-        # two stride 1 unpadded (10x10 -> 5 -> 3 -> 1 for 300 input)
-        extra_cfg = [(256, 512, 2, 1), (128, 256, 2, 1),
-                     (128, 256, 1, 0), (128, 256, 1, 0)]
-        for i, (mid, out, s, p) in enumerate(extra_cfg, start=8):
+        # extras: (1x1 reduce, kxk) pairs; 300: 10x10 -> 5 -> 3 -> 1,
+        # 512: 32 -> 16 -> 8 -> 4 -> 2 -> 1 (last pair 4x4/s1/p1)
+        for i, (mid, out, s, p, k) in enumerate(EXTRA_CFG[self.input_size],
+                                                start=8):
             x = nn.relu(nn.Conv(mid, (1, 1), name=f'conv{i}_1')(x))
-            x = nn.relu(nn.Conv(out, (3, 3), strides=(s, s),
+            x = nn.relu(nn.Conv(out, (k, k), strides=(s, s),
                                 padding=[(p, p), (p, p)],
                                 name=f'conv{i}_2')(x))
             outs.append(x)

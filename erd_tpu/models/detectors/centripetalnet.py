@@ -229,8 +229,7 @@ class CentripetalNetDetector(CornerNetDetector):
                 boxes = boxes * jnp.stack(
                     [1.0 / scale_factor[0], 1.0 / scale_factor[1],
                      1.0 / scale_factor[0], 1.0 / scale_factor[1]])[None]
-            ob, os_, ol, om = nms_select(boxes, scores, labels,
-                                         self.nms_iou, self.max_per_img,
+            ob, os_, ol, om = self._nms(boxes, scores, labels,
                                          valid_mask=vmask)
             return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
 

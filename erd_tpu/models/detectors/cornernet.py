@@ -117,6 +117,11 @@ class CornerNetDetector:
     score_thr: float = 0.05
     max_per_img: int = 100
     nms_iou: float = 0.5
+    # the published recipe tests with gaussian soft-NMS (reference
+    # configs/cornernet/...mstest_coco.py:44 nms type='soft_nms',
+    # method='gaussian'); 'nms' keeps plain greedy for ablations
+    nms_type: str = 'soft_nms'
+    soft_nms_sigma: float = 0.5
     pull_weight: float = 0.10
     push_weight: float = 0.10
     offset_weight: float = 1.0
@@ -134,6 +139,16 @@ class CornerNetDetector:
         self.loss_and_state_jit = jax.jit(self.loss_and_state)
         self.predict_jit = jax.jit(self.predict, static_argnames='rescale')
         self.forward_jit = jax.jit(self.forward_raw)
+
+    def _nms(self, boxes, scores, labels, valid_mask):
+        if self.nms_type == 'soft_nms':
+            from ...ops import soft_nms_select
+            return soft_nms_select(
+                boxes, scores, labels, self.max_per_img,
+                iou_threshold=self.nms_iou, sigma=self.soft_nms_sigma,
+                method='gaussian', valid_mask=valid_mask)
+        return nms_select(boxes, scores, labels, self.nms_iou,
+                          self.max_per_img, valid_mask=valid_mask)
 
     def init(self, rng, image_shape=(128, 128), batch_size=1):
         dummy = jnp.zeros((batch_size,) + tuple(image_shape) + (3,),
@@ -265,9 +280,7 @@ class CornerNetDetector:
                 boxes = boxes * jnp.stack(
                     [1.0 / scale_factor[0], 1.0 / scale_factor[1],
                      1.0 / scale_factor[0], 1.0 / scale_factor[1]])[None]
-            ob, os_, ol, om = nms_select(boxes, scores, labels,
-                                         self.nms_iou, self.max_per_img,
-                                         valid_mask=vmask)
+            ob, os_, ol, om = self._nms(boxes, scores, labels, vmask)
             return DetResults(bboxes=ob, scores=os_, labels=ol, mask=om)
 
         meta = batch['meta']

@@ -225,7 +225,38 @@ class FasterRCNNDetector:
             self.proposal_cfg_train)
 
         rngs = jax.random.split(jax.random.fold_in(rng, 1), b)
+        mining = None
+        if self.rcnn_train_cfg.sampler == 'ohem':
+            # OHEM hard mining (ohem_sampler.py hard_mining): score every
+            # candidate with its CURRENT cls loss from a no-grad forward,
+            # then sample the hardest. One extra RoI-head forward over the
+            # full candidate set; gradients flow only through the sampled
+            # subset below, like the reference.
+            from ..heads.bbox_head import rcnn_assign_single
+            cand_boxes, cand_mask, _, _, _, cand_labels = jax.vmap(
+                lambda p, pm, gb, gl, gm: rcnn_assign_single(
+                    p, pm, gb, gl, gm, self.num_classes,
+                    self.rcnn_train_cfg)
+            )(prop_boxes, prop_mask, batch['gt'].bboxes,
+              batch['gt'].labels, batch['gt'].mask)
+            pn = cand_boxes.shape[1]
+            cand_feats = self._roi_feats(
+                variables, feats, jax.lax.stop_gradient(cand_boxes))
+            mine_cls, _ = self.net.apply(
+                cast_compute_params(variables, self.compute_dtype),
+                jax.lax.stop_gradient(cand_feats).reshape(b * pn, 7, 7, -1),
+                method='roi_forward')
+            from ...losses import cross_entropy_int
+            mining = cross_entropy_int(
+                jax.lax.stop_gradient(mine_cls).astype(jnp.float32),
+                cand_labels.reshape(-1)).reshape(b, pn)
         samples = jax.vmap(
+            lambda k, p, pm, gb, gl, gm, ml: rcnn_sample_single(
+                k, p, pm, gb, gl, gm, self.num_classes, self.rcnn_coder,
+                self.rcnn_train_cfg, mining_losses=ml)
+        )(rngs, prop_boxes, prop_mask, batch['gt'].bboxes,
+          batch['gt'].labels, batch['gt'].mask, mining) \
+            if mining is not None else jax.vmap(
             lambda k, p, pm, gb, gl, gm: rcnn_sample_single(
                 k, p, pm, gb, gl, gm, self.num_classes, self.rcnn_coder,
                 self.rcnn_train_cfg)

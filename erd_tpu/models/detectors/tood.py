@@ -29,10 +29,16 @@ class TOODNet(nn.Module):
     num_classes: int
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    # dconv c3-c5 recipes (reference configs/tood/
+    # tood_r101-dconv-c3-c5_fpn_ms-2x_coco.py: backbone DCNv2 stages)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
+                       dcn_stages=self.dcn_stages,
+                       dcn_modulated=self.dcn_modulated,
                        name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
@@ -47,6 +53,8 @@ class TOODDetector:
     num_classes: int = 80
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
     initial_epochs: int = 4  # train_cfg.initial_epoch
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     test_cfg: GFLTestConfig = field(
@@ -54,7 +62,9 @@ class TOODDetector:
 
     def __post_init__(self):
         self.net = TOODNet(num_classes=self.num_classes, depth=self.depth,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           dcn_stages=tuple(self.dcn_stages),
+                           dcn_modulated=self.dcn_modulated)
         self._ctx_cache: Dict[Tuple[int, int], TOODContext] = {}
         self.loss_jit = jax.jit(partial(self.loss, initial=False))
         self.loss_initial_jit = jax.jit(partial(self.loss, initial=True))

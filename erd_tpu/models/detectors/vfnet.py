@@ -27,10 +27,16 @@ class VFNetNet(nn.Module):
     num_classes: int
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    # mdconv c3-c5 recipes (reference configs/vfnet/
+    # vfnet_r50-mdconv-c3-c5_fpn_ms-2x_coco.py: backbone DCNv2 stages)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(depth=self.depth, compute_dtype=self.compute_dtype,
+                       dcn_stages=self.dcn_stages,
+                       dcn_modulated=self.dcn_modulated,
                        name='backbone')(images)
         in_ch = tuple(f.shape[-1] for f in feats)
         feats = FPN(in_channels=in_ch, out_channels=256, start_level=1,
@@ -46,13 +52,17 @@ class VFNetDetector:
     num_classes: int = 80
     depth: int = 50
     compute_dtype: Any = jnp.float32
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = True  # VFNet ships mdconv (DCNv2) variants only
     preprocessor: Preprocessor = field(default_factory=Preprocessor)
     test_cfg: GFLTestConfig = field(
         default_factory=lambda: GFLTestConfig(iou_threshold=0.6))
 
     def __post_init__(self):
         self.net = VFNetNet(num_classes=self.num_classes, depth=self.depth,
-                            compute_dtype=self.compute_dtype)
+                            compute_dtype=self.compute_dtype,
+                            dcn_stages=tuple(self.dcn_stages),
+                            dcn_modulated=self.dcn_modulated)
         self._ctx_cache: Dict[Tuple[int, int], VFNetContext] = {}
         self.loss_jit = jax.jit(self.loss)
         self.predict_jit = jax.jit(self.predict, static_argnames='rescale')

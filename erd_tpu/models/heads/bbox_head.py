@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from ...losses import cross_entropy_int
-from ...ops import nms_select
+from ...ops import nms_select, nms_select_cfg
 from ...structures.boxes import scale_boxes
 from ...task.coder import DeltaXYWHBBoxCoder
 from ...task.max_iou import max_iou_assign
-from ...task.samplers import random_sample
+from ...task.samplers import ohem_sample, random_sample
 from .gfl_head import GFLTestConfig
 
 
@@ -89,6 +89,11 @@ class RCNNTrainConfig:
     add_gt_as_proposals: bool = True
     cls_weight: float = 1.0
     bbox_weight: float = 1.0
+    # 'random' (RandomSampler) or 'ohem' (OHEMSampler: candidates ranked
+    # by their current cls loss from a no-grad mining forward — reference
+    # task_modules/samplers/ohem_sampler.py hard_mining,
+    # configs/faster_rcnn/faster-rcnn_r50_fpn_ohem_1x_coco.py)
+    sampler: str = 'random'
 
 
 @flax.struct.dataclass
@@ -102,10 +107,14 @@ class RoISamples:
     gt_idx: jnp.ndarray       # (S,) assigned gt index (pos only meaningful)
 
 
-def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
-                       num_classes, coder: DeltaXYWHBBoxCoder,
+def rcnn_assign_single(proposals, prop_mask, gt_b, gt_l, gt_m, num_classes,
                        cfg: RCNNTrainConfig):
-    """Assign+sample one image's proposals (optionally + gt boxes)."""
+    """Assign one image's candidate set (gt-augmented proposals).
+
+    Returns (candidates (P,4), cand_mask, assign result, pos_mask,
+    neg_mask, cand_labels) where cand_labels carries the assigned class
+    for positives and ``num_classes`` (background) otherwise — the target
+    an OHEM mining forward scores candidates against."""
     if cfg.add_gt_as_proposals:
         proposals = jnp.concatenate([gt_b, proposals])
         prop_mask = jnp.concatenate([gt_m, prop_mask])
@@ -114,10 +123,31 @@ def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
                          neg_iou_thr=cfg.neg_iou_thr,
                          min_pos_iou=cfg.min_pos_iou,
                          match_low_quality=False, valid_flags=prop_mask)
+    pos_mask = res.pos_mask & prop_mask
     neg_mask = (~res.pos_mask) & (res.labels != -2) & prop_mask
-    sample = random_sample(rng, res.pos_mask & prop_mask, neg_mask,
-                           num=cfg.num_samples,
-                           pos_fraction=cfg.pos_fraction)
+    cand_labels = jnp.where(pos_mask, res.labels,
+                            num_classes).astype(jnp.int32)
+    return proposals, prop_mask, res, pos_mask, neg_mask, cand_labels
+
+
+def rcnn_sample_single(rng, proposals, prop_mask, gt_b, gt_l, gt_m,
+                       num_classes, coder: DeltaXYWHBBoxCoder,
+                       cfg: RCNNTrainConfig, mining_losses=None):
+    """Assign+sample one image's proposals (optionally + gt boxes).
+
+    ``mining_losses`` (P,) switches RandomSampler semantics to
+    OHEMSampler: candidates ranked by their current per-candidate loss
+    (highest first) instead of random keys."""
+    proposals, prop_mask, res, pos_mask, neg_mask, _ = rcnn_assign_single(
+        proposals, prop_mask, gt_b, gt_l, gt_m, num_classes, cfg)
+    if mining_losses is not None:
+        sample = ohem_sample(mining_losses, pos_mask, neg_mask,
+                             num=cfg.num_samples,
+                             pos_fraction=cfg.pos_fraction)
+    else:
+        sample = random_sample(rng, pos_mask, neg_mask,
+                               num=cfg.num_samples,
+                               pos_fraction=cfg.pos_fraction)
     rois = proposals[sample.idx]
     labels = jnp.where(sample.is_pos & sample.valid,
                        res.labels[sample.idx], num_classes)
@@ -236,5 +266,5 @@ def rcnn_predict_single(cls_logits, reg_preds, rois, roi_mask, img_shape,
         sel_boxes = scale_boxes(flat_boxes[idx], 1.0 / scale_factor)
     else:
         sel_boxes = flat_boxes[idx]
-    return nms_select(sel_boxes, jnp.where(vmask, top, 0.0), labels[idx],
-                      cfg.iou_threshold, cfg.max_per_img, valid_mask=vmask)
+    return nms_select_cfg(sel_boxes, jnp.where(vmask, top, 0.0),
+                          labels[idx], cfg, valid_mask=vmask)

@@ -28,7 +28,7 @@ import numpy as np
 
 from ...losses import (distribution_focal_loss, giou_loss, quality_focal_loss)
 from ...ops import (cap_candidates, filter_scores_and_topk, integral,
-                    nms_select)
+                    nms_select, nms_select_cfg)
 from ...structures import DetResults, bbox_overlaps, distance2bbox
 from ...structures.boxes import bbox2distance, bbox_center, scale_boxes
 from ...task import AnchorGenerator, atss_assign, featmap_sizes_for
@@ -145,6 +145,14 @@ class GFLTestConfig:
     # matrix at 16 MB/img while bounding the crowded-scene drop risk; raise
     # per-config (up to num_levels*nms_pre) when AR on dense scenes matters.
     pre_nms_total: int = 2000
+    # 'nms' (greedy hard NMS) or 'soft_nms' (score decay, Bodla et al.);
+    # the typed mirror of the reference's test_cfg.nms dict
+    # (configs/faster_rcnn/faster-rcnn_r50_fpn_soft-nms_1x_coco.py,
+    # configs/cornernet/*mstest* method='gaussian').
+    nms_type: str = 'nms'
+    soft_nms_method: str = 'linear'
+    soft_nms_sigma: float = 0.5
+    soft_nms_min_score: float = 1e-3
 
 
 def flatten_levels(level_maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -307,9 +315,8 @@ def gfl_predict(ctx: AnchorContext, cls_scores_lvl, bbox_preds_lvl, meta,
             h = boxes[:, 3] - boxes[:, 1]
             valid = valid & (w > cfg.min_bbox_size) & (h > cfg.min_bbox_size)
 
-        out_boxes, out_scores, out_labels, out_mask = nms_select(
-            boxes, scores, labels, cfg.iou_threshold, cfg.max_per_img,
-            valid_mask=valid)
+        out_boxes, out_scores, out_labels, out_mask = nms_select_cfg(
+            boxes, scores, labels, cfg, valid_mask=valid)
         return DetResults(bboxes=out_boxes, scores=out_scores,
                           labels=out_labels, mask=out_mask)
 

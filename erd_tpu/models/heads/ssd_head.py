@@ -29,22 +29,41 @@ from ...task.max_iou import max_iou_assign
 from ..layers import torch_pad
 from .gfl_head import GFLTestConfig
 
-SSD300_STRIDES = (8, 16, 32, 64, 100, 300)
-SSD300_RATIOS = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
+#: per-input-size level layout (reference configs/ssd/ssd300_coco.py and
+#: ssd512_coco.py anchor_generator strides/ratios)
+SSD_STRIDES = {300: (8, 16, 32, 64, 100, 300),
+               512: (8, 16, 32, 64, 128, 256, 512)}
+SSD_RATIOS = {300: ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
+              512: ((2,), (2, 3), (2, 3), (2, 3), (2, 3), (2,), (2,))}
+SSD300_STRIDES = SSD_STRIDES[300]  # kept for import compatibility
+SSD300_RATIOS = SSD_RATIOS[300]
+#: basesize ratio range per input size (COCO recipes)
+SSD_RATIO_RANGE = {300: (0.15, 0.9), 512: (0.1, 0.9)}
+#: first-level (min, max) percent insert per (input_size, min_ratio%)
+#: (SSDAnchorGenerator, anchor_generator.py:551-575)
+_FIRST_LEVEL = {(300, 15): (7, 15), (300, 20): (10, 20),
+                (512, 10): (4, 10), (512, 15): (7, 15)}
+
+
+def ssd_sizes(input_size=300, ratio_range=None):
+    """Per-level (min_size, max_size) following the published SSD scheme
+    (int-truncating, matching SSDAnchorGenerator's hard-coded path)."""
+    ratio_range = ratio_range or SSD_RATIO_RANGE[input_size]
+    num_levels = len(SSD_STRIDES[input_size])
+    min_r, max_r = int(ratio_range[0] * 100), int(ratio_range[1] * 100)
+    step = int((max_r - min_r) / (num_levels - 2))
+    mins, maxs = [], []
+    for r in range(min_r, max_r + 1, step):
+        mins.append(int(input_size * r / 100))
+        maxs.append(int(input_size * (r + step) / 100))
+    f_min, f_max = _FIRST_LEVEL[(input_size, min_r)]
+    mins.insert(0, int(input_size * f_min / 100))
+    maxs.insert(0, int(input_size * f_max / 100))
+    return list(zip(mins[:num_levels], maxs[:num_levels]))
 
 
 def ssd300_sizes(input_size=300, ratio_range=(0.15, 0.9)):
-    """Per-level (min_size, max_size) following the published SSD scheme."""
-    min_r, max_r = int(ratio_range[0] * 100), int(ratio_range[1] * 100)
-    step = (max_r - min_r) // (len(SSD300_STRIDES) - 2)
-    mins, maxs = [], []
-    for r in range(min_r, max_r + 1, step):
-        mins.append(input_size * r / 100.0)
-        maxs.append(input_size * (r + step) / 100.0)
-    mins.insert(0, input_size * 7 // 100)
-    maxs.insert(0, mins[1])
-    return list(zip(mins[:len(SSD300_STRIDES)],
-                    maxs[:len(SSD300_STRIDES)]))
+    return ssd_sizes(input_size, ratio_range)
 
 
 @dataclass(frozen=True)
@@ -56,13 +75,20 @@ class SSDAnchorContext:
     anchors: np.ndarray  # (N, 4)
 
     @staticmethod
-    def build(image_shape=(300, 300), input_size=300):
+    def build(image_shape=(300, 300), input_size=300, strides=None,
+              lvl_ratios=None, level_sizes=None):
+        """Default tables come from ``input_size``; SSDLite-style recipes
+        pass explicit ``strides``/``lvl_ratios``/``level_sizes``
+        (reference configs/ssd/ssdlite_mobilenetv2-scratch config:
+        min_sizes/max_sizes set manually)."""
+        strides = strides or SSD_STRIDES[input_size]
+        lvl_ratios = lvl_ratios or SSD_RATIOS[input_size]
         sizes = [(math.ceil(image_shape[0] / s),
-                  math.ceil(image_shape[1] / s)) for s in SSD300_STRIDES]
-        level_sizes = ssd300_sizes(input_size)
+                  math.ceil(image_shape[1] / s)) for s in strides]
+        level_sizes = level_sizes or ssd_sizes(input_size)
         all_anchors, counts, per_cell = [], [], []
         for (h, w), stride, (mn, mx), ratios in zip(
-                sizes, SSD300_STRIDES, level_sizes, SSD300_RATIOS):
+                sizes, strides, level_sizes, lvl_ratios):
             whs = [(mn, mn), (math.sqrt(mn * mx), math.sqrt(mn * mx))]
             for r in ratios:
                 sr = math.sqrt(r)

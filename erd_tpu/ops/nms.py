@@ -165,3 +165,98 @@ def nms_select(boxes, scores, labels, iou_threshold, max_out,
             [out_labels, jnp.zeros((pad,), out_labels.dtype)])
         out_mask = jnp.concatenate([out_mask, jnp.zeros((pad,), bool)])
     return out_boxes, out_scores, out_labels, out_mask
+
+
+def soft_nms_select(boxes, scores, labels, max_out, iou_threshold=0.3,
+                    sigma=0.5, min_score=1e-3, method='linear',
+                    valid_mask=None, class_agnostic=False):
+    """Soft-NMS (Bodla et al. 2017) as a fixed-shape XLA scan.
+
+    Mirrors mmcv's ``soft_nms`` as consumed through the reference's
+    ``nms=dict(type='soft_nms', ...)`` test cfg
+    (/root/reference/configs/faster_rcnn/faster-rcnn_r50_fpn_soft-nms_1x_
+    coco.py: linear, /root/reference/configs/cornernet/...mstest_coco.py:44:
+    gaussian) and batched over classes with the same coordinate-offset
+    trick as ``batched_nms`` (cross-class IoU becomes 0 -> decay weight 1).
+
+    Sequential semantics, expressed statically: ``max_out`` scan steps;
+    step t picks the argmax of the current (decayed) scores, emits it with
+    its decayed score, then multiplies every remaining candidate's score by
+    the decay weight w(iou(sel, .)):
+      linear:   w = 1 - iou        where iou > iou_threshold, else 1
+      gaussian: w = exp(-iou^2 / sigma)
+    Candidates whose decayed score falls below ``min_score`` are dropped
+    (mmcv's in-loop discard). Selection-time scores are monotonically
+    non-increasing (decay only lowers scores), so the output is
+    score-sorted like ``nms_select``.
+
+    Returns (boxes (max_out, 4), scores, labels, mask) — decayed scores,
+    empty slots zeroed.
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    cur = scores.astype(jnp.float32)
+    if valid_mask is not None:
+        cur = jnp.where(valid_mask, cur, neg_inf)
+    if class_agnostic:
+        shifted = boxes
+    else:
+        max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0))
+        shifted = boxes + (labels.astype(boxes.dtype)
+                           * (max_coord + 1))[:, None]
+    x1, y1, x2, y2 = (shifted[:, 0], shifted[:, 1],
+                      shifted[:, 2], shifted[:, 3])
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+
+    def step(cur, _):
+        i = jnp.argmax(cur)
+        s_i = cur[i]
+        iw = jnp.maximum(jnp.minimum(x2[i], x2) -
+                         jnp.maximum(x1[i], x1), 0)
+        ih = jnp.maximum(jnp.minimum(y2[i], y2) -
+                         jnp.maximum(y1[i], y1), 0)
+        overlap = iw * ih
+        iou = overlap / jnp.maximum(area[i] + area - overlap, 1e-6)
+        if method == 'gaussian':
+            w = jnp.exp(-(iou * iou) / sigma)
+        else:  # linear
+            w = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        nxt = jnp.where(cur > neg_inf, cur * w, cur)
+        # drop decayed-below-min candidates AND consume the selection
+        nxt = jnp.where(nxt < min_score, neg_inf, nxt)
+        nxt = nxt.at[i].set(neg_inf)
+        return nxt, (i, s_i)
+
+    k = min(max_out, n)
+    _, (sel_idx, sel_scores) = jax.lax.scan(step, cur, None, length=k)
+    out_mask = sel_scores >= min_score
+    out_boxes = jnp.where(out_mask[:, None], boxes[sel_idx], 0.0)
+    out_scores = jnp.where(out_mask, sel_scores, 0.0)
+    out_labels = jnp.where(out_mask, labels[sel_idx], 0)
+    if k < max_out:
+        pad = max_out - k
+        out_boxes = jnp.concatenate(
+            [out_boxes, jnp.zeros((pad, 4), out_boxes.dtype)])
+        out_scores = jnp.concatenate(
+            [out_scores, jnp.zeros((pad,), out_scores.dtype)])
+        out_labels = jnp.concatenate(
+            [out_labels, jnp.zeros((pad,), out_labels.dtype)])
+        out_mask = jnp.concatenate([out_mask, jnp.zeros((pad,), bool)])
+    return out_boxes, out_scores, out_labels, out_mask
+
+
+def nms_select_cfg(boxes, scores, labels, cfg, valid_mask=None,
+                   class_agnostic=False):
+    """Dispatch hard vs soft NMS from a test-config carrying
+    ``nms_type``/``iou_threshold``/``soft_nms_*``/``max_per_img``
+    (the typed mirror of the reference's ``test_cfg.nms`` dict)."""
+    if getattr(cfg, 'nms_type', 'nms') == 'soft_nms':
+        return soft_nms_select(
+            boxes, scores, labels, cfg.max_per_img,
+            iou_threshold=cfg.iou_threshold,
+            sigma=cfg.soft_nms_sigma, min_score=cfg.soft_nms_min_score,
+            method=cfg.soft_nms_method, valid_mask=valid_mask,
+            class_agnostic=class_agnostic)
+    return nms_select(boxes, scores, labels, cfg.iou_threshold,
+                      cfg.max_per_img, valid_mask=valid_mask,
+                      class_agnostic=class_agnostic)

@@ -45,13 +45,17 @@ FLAGSHIP_OVERRIDE = {
     # the ERD increment stage (teacher+student distillation), not the
     # plain first-40 GFL warmup stage
     'gfl_increment': 'gfl_r50_fpn_1x_coco_first_40_incre_last_40_cats.py',
+    # the mask variant exercises strictly more (3-stage box cascade AND
+    # per-stage mask heads); pin r50 so the alphabetically-first r101
+    # doesn't bloat the exec tier
+    'cascade_rcnn': 'cascade_mask_rcnn_r50_fpn_1x_coco.py',
 }
 
 # model types whose gt must carry instance-mask crops
 _MASK_TYPES = {'MaskRCNN', 'HTC', 'SCNet', 'MaskScoringRCNN', 'SOLO',
                'SOLOv2', 'YOLACT', 'CondInst', 'QueryInst', 'PointRend',
                'RTMDetIns', 'Mask2Former', 'MaskFormer', 'PanopticFPN',
-               'RPN', 'FastRCNN'}
+               'RPN', 'FastRCNN', 'CascadeMaskRCNN'}
 # model types that additionally consume a semantic-seg map
 _SEMSEG_TYPES = {'HTC', 'PanopticFPN'}
 

@@ -239,3 +239,127 @@ def test_carafe_reassemble_identity_kernel():
                                      up, k_up))
     want = x.repeat(2, axis=0).repeat(2, axis=1)
     np.testing.assert_allclose(y, want, rtol=1e-5)
+
+
+def np_soft_nms(boxes, scores, iou_thr=0.3, sigma=0.5, min_score=1e-3,
+                method='linear'):
+    """Published soft-NMS (Bodla et al. 2017) reference loop, one class:
+    repeatedly select the max-score box, decay its neighbours' scores.
+    Returns [(orig_idx, decayed_score)] in selection order."""
+    boxes = boxes.astype(np.float64)
+    cur = scores.astype(np.float64).copy()
+    alive = np.ones(len(boxes), bool)
+    out = []
+    while alive.any():
+        i = int(np.argmax(np.where(alive, cur, -np.inf)))
+        if cur[i] < min_score:
+            break
+        out.append((i, cur[i]))
+        alive[i] = False
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        a = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+        iou = inter / np.maximum(a[i] + a - inter, 1e-6)
+        if method == 'gaussian':
+            w = np.exp(-(iou ** 2) / sigma)
+        else:
+            w = np.where(iou > iou_thr, 1.0 - iou, 1.0)
+        cur = np.where(alive, cur * w, cur)
+        alive &= cur >= min_score
+    return out
+
+
+@pytest.mark.parametrize('method', ['linear', 'gaussian'])
+def test_soft_nms_matches_numpy_single_class(rng, method):
+    from erd_tpu.ops import soft_nms_select
+    for _ in range(3):
+        boxes = rand_boxes(rng, 40, w=80, h=80)
+        scores = rng.uniform(0.05, 1.0, 40).astype(np.float32)
+        labels = np.zeros(40, np.int32)
+        ob, os_, ol, om = jax.jit(
+            lambda b, s, l: soft_nms_select(
+                b, s, l, 40, iou_threshold=0.3, sigma=0.5,
+                min_score=1e-3, method=method)
+        )(boxes, scores, labels)
+        ref = np_soft_nms(boxes, scores, method=method)
+        got = int(np.asarray(om).sum())
+        assert got == len(ref)
+        for t, (idx, dec) in enumerate(ref):
+            np.testing.assert_allclose(np.asarray(os_)[t], dec, rtol=2e-5)
+            np.testing.assert_allclose(np.asarray(ob)[t], boxes[idx],
+                                       rtol=1e-6)
+
+
+def test_soft_nms_class_offset_matches_per_class_oracle(rng):
+    """Batched (class-aware) soft-NMS == independent per-class soft-NMS
+    merged in descending decayed-score order."""
+    from erd_tpu.ops import soft_nms_select
+    n = 60
+    boxes = rand_boxes(rng, n, w=60, h=60)
+    scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+    labels = rng.randint(0, 3, n).astype(np.int32)
+    ob, os_, ol, om = jax.jit(
+        lambda b, s, l: soft_nms_select(b, s, l, n, iou_threshold=0.3,
+                                        method='linear')
+    )(boxes, scores, labels)
+    ref = []
+    for c in range(3):
+        idx_c = np.where(labels == c)[0]
+        for i, dec in np_soft_nms(boxes[idx_c], scores[idx_c]):
+            ref.append((dec, idx_c[i]))
+    ref.sort(key=lambda t: -t[0])
+    assert int(np.asarray(om).sum()) == len(ref)
+    for t, (dec, idx) in enumerate(ref):
+        np.testing.assert_allclose(np.asarray(os_)[t], dec, rtol=2e-5)
+        assert int(np.asarray(ol)[t]) == labels[idx]
+
+
+def test_soft_nms_no_overlap_keeps_all_scores(rng):
+    """Disjoint boxes: soft-NMS must be a pure sort (no decay)."""
+    from erd_tpu.ops import soft_nms_select
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30],
+                      [40, 0, 50, 10]], np.float32)
+    scores = np.array([0.5, 0.9, 0.7], np.float32)
+    labels = np.zeros(3, np.int32)
+    ob, os_, ol, om = soft_nms_select(boxes, scores, labels, 5,
+                                      method='gaussian')
+    assert np.asarray(om).tolist() == [True, True, True, False, False]
+    np.testing.assert_allclose(np.asarray(os_)[:3], [0.9, 0.7, 0.5])
+
+
+def test_rcnn_predict_single_soft_nms_path():
+    """GFLTestConfig(nms_type='soft_nms') routes the RoI-head post-process
+    through soft_nms_select (reference faster-rcnn_r50_fpn_soft-nms config)
+    and still emits fixed-shape, mask-padded detections."""
+    from erd_tpu.models.heads.bbox_head import rcnn_predict_single
+    from erd_tpu.models.heads.gfl_head import GFLTestConfig
+    from erd_tpu.task.coder import DeltaXYWHBBoxCoder
+    rng = np.random.RandomState(3)
+    R, C = 32, 4
+    cls_logits = jnp.asarray(rng.randn(R, C + 1).astype(np.float32))
+    reg_preds = jnp.asarray(0.1 * rng.randn(R, 4 * C).astype(np.float32))
+    rois = jnp.asarray(rand_boxes(rng, R, w=100, h=100))
+    roi_mask = jnp.ones(R, bool)
+    coder = DeltaXYWHBBoxCoder(target_stds=(0.1, 0.1, 0.2, 0.2))
+    img_shape = jnp.asarray([100.0, 100.0])
+    sf = jnp.asarray([1.0, 1.0])
+    hard = GFLTestConfig(score_thr=0.01, max_per_img=20)
+    soft = GFLTestConfig(score_thr=0.01, max_per_img=20,
+                         nms_type='soft_nms', iou_threshold=0.5)
+    run = lambda cfg: jax.jit(
+        lambda: rcnn_predict_single(cls_logits, reg_preds, rois, roi_mask,
+                                    img_shape, sf, C, coder, cfg))()
+    hb, hs, hl, hm = run(hard)
+    sb, ss, sl, sm = run(soft)
+    assert hb.shape == sb.shape == (20, 4)
+    # soft-NMS keeps decayed duplicates that hard NMS kills outright
+    assert int(np.asarray(sm).sum()) >= int(np.asarray(hm).sum())
+    # both outputs are score-sorted with zeroed padding
+    for s_, m_ in ((np.asarray(hs), np.asarray(hm)),
+                   (np.asarray(ss), np.asarray(sm))):
+        kept = s_[m_]
+        assert (np.diff(kept) <= 1e-6).all()
+        assert (s_[~m_] == 0).all()

@@ -116,3 +116,77 @@ def test_pisa_ssd_identity_limits_match_plain_ssd():
     l2 = jax.jit(pisa2.loss)(variables, batch)
     assert np.isfinite(float(l2['loss_cls']))
     assert abs(float(l2['loss_carl']) - float(l2['loss_bbox'])) > 1e-8
+
+
+def test_ssd512_anchor_scheme():
+    """SSD512: 7 levels, strides 8..512, basesize range (0.1, 0.9)
+    (reference configs/ssd/ssd512_coco.py anchor_generator)."""
+    from erd_tpu.models.heads.ssd_head import ssd_sizes
+    sizes = ssd_sizes(512)
+    # int-truncating SSDAnchorGenerator values (anchor_generator.py:548-566)
+    assert sizes == [(20, 51), (51, 133), (133, 215), (215, 296),
+                     (296, 378), (378, 460), (460, 542)]
+    ctx = SSDAnchorContext.build((512, 512), 512)
+    assert ctx.anchors_per_cell == (4, 6, 6, 6, 6, 4, 4)
+    assert ctx.featmap_sizes == ((64, 64), (32, 32), (16, 16), (8, 8),
+                                 (4, 4), (2, 2), (1, 1))
+    # 24564 anchors for the canonical 512 input
+    assert ctx.anchors.shape[0] == sum(
+        h * w * a for (h, w), a in zip(ctx.featmap_sizes,
+                                       ctx.anchors_per_cell))
+
+
+@pytest.mark.slow
+def test_ssd512_detector_modes():
+    det = SSDDetector(num_classes=4, input_size=512)
+    variables = det.init(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((1, 512, 512, 3), jnp.uint8)
+    cls_lvl, _ = det.forward_jit(variables, imgs)
+    hw = [tuple(m.shape[1:3]) for m in cls_lvl]
+    # extra s2 pairs + final 4x4/s1/p1 conv: 64 -> ... -> 2 -> 1
+    assert hw == [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4), (2, 2),
+                  (1, 1)]
+    batch = make_batch(b=1, h=512, w=512)
+    losses = det.loss_jit(variables, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[1] == det.test_cfg.max_per_img
+
+
+def test_ssdlite_anchor_context_matches_levels():
+    """SSDLite 320: explicit strides/ratios/sizes tables (reference
+    configs/ssd/ssdlite_mobilenetv2-scratch_8xb24-600e_coco.py)."""
+    from erd_tpu.models.detectors.ssd import (
+        SSDLITE_RATIOS, SSDLITE_SIZES, SSDLITE_STRIDES)
+    ctx = SSDAnchorContext.build((320, 320), strides=SSDLITE_STRIDES,
+                                 lvl_ratios=SSDLITE_RATIOS,
+                                 level_sizes=SSDLITE_SIZES)
+    assert ctx.featmap_sizes == ((20, 20), (10, 10), (5, 5), (3, 3),
+                                 (2, 2), (1, 1))
+    # ratios [2, 3] everywhere -> 6 anchors per cell on all levels
+    assert ctx.anchors_per_cell == (6,) * 6
+    assert ctx.anchors.shape[0] == 6 * (400 + 100 + 25 + 9 + 4 + 1)
+
+
+@pytest.mark.slow
+def test_ssdlite_detector_modes():
+    from erd_tpu.models.detectors.ssd import SSDLiteDetector
+    det = SSDLiteDetector(num_classes=4)
+    variables = det.init(jax.random.PRNGKey(0))
+    assert 'batch_stats' in variables  # depthwise head/extras carry BN
+    imgs = jnp.zeros((1, 320, 320, 3), jnp.uint8)
+    cls_lvl, _ = det.forward_jit(variables, imgs)
+    hw = [tuple(m.shape[1:3]) for m in cls_lvl]
+    # C4 (s16) + C5 (s32) + four s2 depthwise extras: 20 -> ... -> 1
+    assert hw == [(20, 20), (10, 10), (5, 5), (3, 3), (2, 2), (1, 1)]
+    batch = make_batch(b=1, h=320, w=320)
+    losses, new_state = jax.jit(det.loss_and_state)(variables, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # BN statistics actually move under the training step
+    before = jax.tree.leaves(variables['batch_stats'])
+    after = jax.tree.leaves(new_state['batch_stats'])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+    res = det.predict_jit(variables, batch)
+    assert res.bboxes.shape[1] == det.test_cfg.max_per_img

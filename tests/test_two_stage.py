@@ -204,3 +204,45 @@ def test_detectors_rfp_and_sac():
         assert np.isfinite(float(vv)), (k, losses)
     res = det.predict_jit(dv, batch)
     assert res.bboxes.shape[-1] == 4
+
+
+def test_ohem_sampler_picks_hardest():
+    """OHEM ranks candidates by loss (ohem_sampler.py hard_mining):
+    highest-loss positives and negatives fill the slots."""
+    from erd_tpu.task.samplers import ohem_sample
+    losses = jnp.asarray(np.arange(100, dtype=np.float32))
+    pos = jnp.zeros(100, bool).at[:10].set(True)
+    neg = jnp.zeros(100, bool).at[50:].set(True)
+    s = ohem_sample(losses, pos, neg, num=16, pos_fraction=0.25)
+    idx, is_pos, valid = map(np.asarray, (s.idx, s.is_pos, s.valid))
+    # 4 pos slots: the highest-loss positives are 6..9
+    assert set(idx[is_pos & valid]) == {6, 7, 8, 9}
+    # 12 neg slots: the highest-loss negatives are 88..99
+    assert set(idx[~is_pos & valid]) == set(range(88, 100))
+
+
+@pytest.mark.slow
+def test_frcnn_ohem_loss_mode():
+    """FasterRCNN with sampler='ohem' (reference
+    configs/faster_rcnn/faster-rcnn_r50_fpn_ohem_1x_coco.py) jits the
+    mining forward + hard sampling end to end."""
+    from erd_tpu.models.detectors.faster_rcnn import FasterRCNNDetector
+    from erd_tpu.models.heads.bbox_head import RCNNTrainConfig
+    det = FasterRCNNDetector(
+        num_classes=4, depth=18,
+        rcnn_train_cfg=RCNNTrainConfig(sampler='ohem', num_samples=32))
+    variables = det.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    gts = [([[10, 10, 60, 50]], [1]),
+           ([[5, 5, 40, 40], [30, 10, 80, 60]], [0, 2])]
+    batch = make_batch(gts=gts)
+    losses = det.loss_jit(variables, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # mining must not leak gradients: grads exist and are finite
+    g = jax.grad(lambda p: sum(
+        jax.tree.leaves(jax.tree.map(
+            jnp.sum, det.loss({**variables, 'params': p}, batch)))))(
+        variables['params'])
+    flat = jax.tree.leaves(jax.tree.map(
+        lambda a: jnp.all(jnp.isfinite(a)), g))
+    assert all(bool(x) for x in flat)
